@@ -1,0 +1,50 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + count-style action);
+a warm-up query absorbs one-time JVM/codegen cost so numbers reflect
+steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from ecommerce_data_engineering_spark.plans import REGISTRY
+from ecommerce_data_engineering_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    bench_queries = {n: s for n, s in REGISTRY.items() if s.bench}
+
+    # Warm-up: JVM + codegen + parquet footer caches (not timed).
+    bench_queries["pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_queries.items():
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # noop sink materializes every row JVM-side without driver collect
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all pure DataFrame ops (no Python UDFs in the hot path):
+
+- **exact**       hash-groupBy on normalized content.
+- **MinHash+LSH** shingle → minhash signature → band → bucket-join.
+- **SimHash**     token-hash bit-vote fingerprint; equal/near fingerprints
+                  are near-dup candidates.
+- **n-gram Jaccard** candidate pairs sharing a shingle, verified by exact
+                  Jaccard on shingle sets.
+
+Cross-engine determinism: hashing is md5-based (functions/hashing.py) so
+every stage is reproducible in the DuckDB oracle — Spark's murmur/xxhash
+would work equally well in production but can't be oracle-checked.
+
+Scale notes (the whole point of these designs):
+- shingling is a map-side explode; the only shuffles are the
+  groupBy(doc) for signatures and the groupBy(bucket)/self-join for
+  candidates.
+- LSH candidate generation never compares all pairs: cost is
+  Σ_bucket |bucket|², controlled by band width.  A hot bucket (boiler-
+  plate shingle) is the skew risk → ``max_bucket`` caps it, mirroring
+  what production dedup pipelines do with stop-shingles.
+- exact Jaccard verification joins only candidate pairs back to the
+  (doc, shingle) table — linear in candidate count × avg shingles.
+"""
+
+from __future__ import annotations
+
+from ..functions.rounding import pround
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.hashing import minhash_cols, portable_hash_hex
+
+
+# --------------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str,
+                normalize: bool = True) -> DataFrame:
+    """One row per distinct (normalized) content: keeper id = min id,
+    plus the duplicate count.  Hash-groupBy — one shuffle on the content
+    hash, never on the raw text (hash first so wide text doesn't travel
+    through the shuffle at 100 TB)."""
+    key = F.lower(F.trim(F.col(content_col))) if normalize else F.col(content_col)
+    return (df.select(F.md5(key).alias("content_key"), F.col(id_col))
+              .groupBy("content_key")
+              .agg(F.min(id_col).alias("keeper_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+# ----------------------------------------------------------------- shingling
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle).
+
+    Tokenization = lowercase, split on non-alphanumeric, drop empties —
+    chosen because it is expressible verbatim in every SQL engine
+    (regexp_split_to_array in DuckDB), keeping the oracle exact.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    shingle = F.expr(
+        f"transform(sequence(0, size(w) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'w[i+{k}]' for k in range(n))}))"
+    )
+    return (df.select(F.col(id_col), words.alias("w"))
+              .filter(F.size("w") >= n)
+              .select(id_col, F.explode(shingle).alias("shingle"))
+              .distinct())
+
+
+# -------------------------------------------------------------- MinHash LSH
+
+def minhash_signatures(shingles: DataFrame, id_col: str,
+                       num_hashes: int = 8) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) — one groupBy shuffle, map-side partial min."""
+    return shingles.groupBy(id_col).agg(*minhash_cols("shingle", num_hashes))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        num_hashes: int = 8, bands: int = 4,
+                        max_bucket: int = 50) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate (id_a < id_b) pairs.
+
+    ``max_bucket`` drops degenerate buckets (a shingle shared by
+    thousands of docs would otherwise create a quadratic hot spot —
+    the classic LSH skew guard)."""
+    rows = num_hashes // bands
+    banded = None
+    for b in range(bands):
+        cols = [f"mh_{b * rows + r}" for r in range(rows)]
+        piece = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+        )
+        banded = piece if banded is None else banded.unionByName(piece)
+
+    sized = banded.withColumn(
+        "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bsize") <= max_bucket)
+
+    a = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    b = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    return (a.join(b, ["band", "bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame, id_col: str,
+                   threshold: float) -> DataFrame:
+    """Exact Jaccard on shingle sets for candidate pairs only."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (pairs.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+                  .groupBy("id_a", "id_b")
+                  .agg(F.count(F.lit(1)).alias("n_common")))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .withColumn("jaccard",
+                        pround(F.col("n_common") /
+                                (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ------------------------------------------------------------------ SimHash
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            nibbles: int = 16) -> DataFrame:
+    """Nibble-vote SimHash fingerprint (hex-digit granularity).
+
+    Classic SimHash votes per *bit* of each token hash; we vote per hex
+    digit (4-bit nibble) of the md5 — same locality property, 4× fewer
+    vote rows, and exactly expressible in portable SQL.  Fingerprint =
+    ``nibbles``-char bitstring, one char per md5 hex position: '1' when
+    the mean digit value of the doc's tokens at that position > 7.5.
+    """
+    from ..functions.hashing import hex_nibble_value
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    tok = (df.select(F.col(id_col), F.explode(words).alias("token"))
+             .distinct()
+             .withColumn("h", F.md5(F.col("token"))))
+    votes = tok.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.lit(nibbles))).alias("pos"),
+        "h",
+    ).withColumn("val", hex_nibble_value(F.substring(F.col("h"), F.col("pos"), 1)))
+    # exact sum ÷ count instead of avg(): engine avg() accumulation
+    # strategies are unspecified; integer sum + one division is
+    # bit-identical everywhere (matters when the vote mean is exactly 7.5)
+    bit = (votes.groupBy(id_col, "pos")
+                .agg(F.when(F.sum("val").cast("double") / F.count(F.lit(1)) > 7.5,
+                            F.lit("1")).otherwise(F.lit("0"))
+                     .alias("bit")))
+    return (bit.groupBy(id_col)
+               .agg(F.concat_ws(
+                   "",
+                   F.array_sort(F.collect_list(F.struct("pos", "bit")))
+                    .getField("bit"),
+               ).alias("simhash")))
+
+
+def simhash_near_dups(fingerprints: DataFrame, id_col: str,
+                      width: int = 16, max_hamming: int = 2,
+                      chunks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: block on fingerprint chunks (a pair
+    within hamming ≤ chunks−1 must share ≥1 exact chunk — pigeonhole),
+    then verify hamming distance positionally."""
+    fp = fingerprints
+    clen = max(1, width // chunks)
+    blocked = None
+    for cidx in range(chunks):
+        piece = fp.select(
+            F.col(id_col), F.col("simhash"),
+            F.lit(cidx).alias("chunk"),
+            F.substring("simhash", cidx * clen + 1, clen).alias("ckey"),
+        )
+        blocked = piece if blocked is None else blocked.unionByName(piece)
+    a = blocked.select("chunk", "ckey", F.col(id_col).alias("id_a"),
+                       F.col("simhash").alias("sh_a"))
+    b = blocked.select("chunk", "ckey", F.col(id_col).alias("id_b"),
+                       F.col("simhash").alias("sh_b"))
+    pairs = (a.join(b, ["chunk", "ckey"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    ham = F.expr(
+        "size(filter(sequence(1, length(sh_a)), "
+        "i -> substring(sh_a, i, 1) <> substring(sh_b, i, 1)))"
+    )
+    return (pairs.withColumn("hamming", ham)
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))

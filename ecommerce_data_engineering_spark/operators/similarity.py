@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies:
+
+- ``cosine_topk`` — exact brute-force top-k: query set × corpus with
+  JVM-side ``zip_with``/``aggregate`` dot products (no Python UDF, no
+  Arrow round-trip).  Cost O(|Q|·|C|·d): the correctness baseline, and
+  the right answer when |Q| is small and the corpus side broadcasts.
+
+- ``lsh_cosine_topk`` — random-hyperplane LSH: sign-bucket every vector
+  with H shared pseudo-random hyperplanes (derived deterministically
+  from md5, so the oracle can reproduce them), candidate = same bucket,
+  exact cosine within bucket.  Cost Σ_bucket |Q_b|·|C_b|·d — the 100 TB
+  scale path (bucket count grows 2^H; multi-probe/tables are the
+  production refinement, IVF the alternative — see operators/ivf
+  docstring note below).
+
+All arithmetic is double (floats are upcast first) and rounded before
+ranking so results are deterministic and reproducible cross-engine.
+"""
+
+from __future__ import annotations
+
+from ..functions.rounding import pround
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding",
+              out_col: str = "norm") -> DataFrame:
+    """L2 norm, computed once per vector (reused across all pairs)."""
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn(out_col, F.sqrt(sq))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rn).  Ranking is on
+    floor((cos) * 1000000000 + 0.5) / 1000000000 with neighbor-id tiebreak → engine-independent.
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    pairs = q.join(c, F.col("query_id") != F.col("neighbor_id"))
+    sim = (pairs
+           .withColumn("cosine",
+                       pround(_dot("q_vec", "c_vec") /
+                               (F.col("q_norm") * F.col("c_norm")), 6))
+           .select("query_id", "neighbor_id", "cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (sim.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= k))
+
+
+def hyperplane_sign_bits(df: DataFrame, vec_col: str, num_planes: int,
+                         dim: int, out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane signature as a '0'/'1' string of length H.
+
+    Plane weights are ±1 derived from md5(plane‖dim) — deterministic,
+    shared by every engine, and good enough for sign-LSH (Rademacher
+    planes satisfy the Johnson–Lindenstrauss-style guarantees used by
+    SimHash/sign-LSH in practice).
+    """
+    def plane_dot(p: int):
+        # weight_j = +1 if first md5 nibble of "p_j" >= 8 else -1
+        terms = F.expr(
+            "aggregate(zip_with(slice({v}, 1, {d}), sequence(0, {d}-1), "
+            "(x, j) -> CASE WHEN instr('0123456789abcdef', "
+            "substring(md5(concat('{p}', '_', cast(j as string))), 1, 1)) - 1 >= 8 "
+            "THEN cast(x as double) ELSE -cast(x as double) END), "
+            "cast(0.0 as double), (acc, x) -> acc + x)".format(v=vec_col, d=dim, p=p)
+        )
+        return F.when(pround(terms, 9) > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return df.withColumn(out_col, F.concat(*[plane_dot(p) for p in range(num_planes)]))
+
+
+def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
+                    num_planes: int = 6, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: exact cosine restricted to same-bucket pairs."""
+    qb = hyperplane_sign_bits(
+        with_norm(queries, vec_col), vec_col, num_planes, dim
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+             F.col("norm").alias("q_norm"), "bucket")
+    cb = hyperplane_sign_bits(
+        with_norm(corpus, vec_col), vec_col, num_planes, dim
+    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+             F.col("norm").alias("c_norm"), "bucket")
+    pairs = qb.join(cb, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = (pairs
+           .withColumn("cosine",
+                       pround(_dot("q_vec", "c_vec") /
+                               (F.col("q_norm") * F.col("c_norm")), 6))
+           .select("query_id", "neighbor_id", "cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (sim.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= k))

@@ -1,0 +1,118 @@
+"""Text-analysis operators over the documents table.
+
+Everything is built-in Catalyst expressions (regexp_*, split, filter,
+md5) — zero Python UDFs, so the hot path stays in whole-stage codegen
+and the DuckDB oracle can reproduce it exactly.
+
+- language-ID: stopword-profile n-gram heuristic (argmax of per-language
+  stopword hit ratios).  NOTE: the driver's fixture `lang` labels are
+  synthetic (all texts are English-ish word salad), so accuracy against
+  the label column is *not* the correctness criterion — the computation
+  is.
+- quality scoring: length / punctuation / stopword / repetition ratios
+  blended into a [0,1] score, the standard pre-training heuristics.
+- token counting: whitespace tokens + a BPE-ish regex segmentation
+  (letters runs | single digits | punctuation marks).
+- fingerprinting: content md5 + min-hash-of-character-8-grams (a
+  winnowing-style rolling-window fingerprint).
+"""
+
+from __future__ import annotations
+
+from ..functions.rounding import pround
+from pyspark.sql import Column, DataFrame, functions as F
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "les", "et", "des", "un"),
+    "zh": ("的", "是", "在", "了", "我"),
+}
+
+_WORDS = lambda c: F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")  # noqa: E731
+
+
+def word_count(text: Column) -> Column:
+    return F.size(_WORDS(text))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """How many tokens are in the language's stopword list."""
+    words = _WORDS(text)
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda x: F.array_contains(arr, x)))
+
+
+def language_id(text: Column) -> Column:
+    """Argmax stopword-hits language; 'und' when nothing matches.
+
+    Ties break to the alphabetically-first language — a CASE chain
+    (not a loop state machine) so the DuckDB oracle can mirror the
+    exact expression.
+    """
+    words = word_count(text)
+    hits = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
+    m = F.greatest(*hits.values())
+    chain = F.when((words <= 0) | (m <= 0), F.lit("und"))
+    for lang in sorted(STOPWORDS):
+        chain = chain.when(hits[lang] == m, F.lit(lang))
+    return chain.otherwise(F.lit("und"))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    return pround(n_punct / F.greatest(F.length(text), F.lit(1)), 4)
+
+
+def quality_score(text: Column) -> Column:
+    """Blend of pre-training quality heuristics → [0,1], rounded.
+
+    - length score: saturating word count / 100
+    - lexical diversity: distinct words / words
+    - punctuation sanity: 1 − min(1, punct_ratio·10)
+    """
+    words = _WORDS(text)
+    n = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    length_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = n_distinct / F.greatest(n, F.lit(1))
+    punct_sane = F.lit(1.0) - F.least(punct_ratio(text) * 10, F.lit(1.0))
+    return pround((length_score + diversity + punct_sane) / 3.0, 4)
+
+
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per doc."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str, id_col: str,
+                 gram: int = 8) -> DataFrame:
+    """Content md5 + winnowing-style min-hash over char 8-grams.
+
+    The min over a rolling window of hashed character n-grams is the
+    core of winnowing fingerprints; taking the global min (window =
+    whole doc) gives a compact single-value fingerprint that is stable
+    under small edits elsewhere in the doc.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(t) - {gram - 1}, 1)), "
+        f"i -> md5(substring(t, i, {gram})))"
+    )
+    return (df.select(F.col(id_col), norm.alias("t"))
+              .select(
+                  id_col,
+                  F.md5(F.col("t")).alias("content_md5"),
+                  F.array_min(grams).alias("winnow_fp"),
+              ))

@@ -1,0 +1,131 @@
+"""Event analytics over the events fixture — the batch equivalents of
+the streaming pipelines in ``streaming/`` (SURVEY.md §2.11: the
+reference has no streaming; this is the declared extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources import load
+from ..functions.rounding import davg, dsum, pround
+from .registry import query
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS total_value,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) * 100 + 0.5) / 100 AS avg_value,
+           count(DISTINCT user_id) AS unique_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    covers=("A1", "A2"),
+    bench=True,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in batch form: the exact query the
+    Structured Streaming pipeline (streaming/events.py) runs
+    incrementally — date_trunc is the batch spelling of
+    window(ts, '1 hour').start."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                  "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(dsum(F.col("value")), 2).alias("total_value"),
+            pround(davg(F.col("value")), 2).alias("avg_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(session_seq AS INT) AS session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS session_value
+    FROM sessions
+    GROUP BY user_id, CAST(session_seq AS INT)
+    """,
+    covers=("W1",),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap via lag + cumulative
+    sum — the batch twin of streaming session_window(ts, '30 minutes').
+
+    Windows are partitioned by user_id, so the work distributes across
+    users; anonymous (NULL) users are excluded — at 100 TB the NULL key
+    would be one giant hot partition (the clickstream skew trap,
+    SURVEY.md §7.4.8)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    gaps = e.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    sessions = gaps.withColumn(
+        "session_seq", F.sum("is_new_session").over(wsum).cast("int"))
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            pround(dsum(F.col("value")), 2).alias("session_value"),
+        )
+    )
+
+
+@query(
+    "event_type_daily_share",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_date, event_type, n,
+           floor((n * 100.0 / sum(n) OVER (PARTITION BY event_date)) * 100 + 0.5) / 100 AS pct_of_day
+    FROM daily
+    """,
+    covers=("W2", "A1"),
+)
+def event_type_daily_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total per day — W2 with a *partitioned* window (one
+    partition per day), the scalable variant of the reference's
+    SUM(...) OVER ()."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("event_date"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_date")
+    return daily.withColumn(
+        "pct_of_day", pround(F.col("n") * 100.0 / F.sum("n").over(w), 2))

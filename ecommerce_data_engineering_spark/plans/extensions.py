@@ -1,0 +1,567 @@
+"""LLM-data-pipeline extension queries: dedup, similarity search,
+text analysis, multimodal plumbing (BASELINE.json north-star; not in
+the reference — SURVEY.md §7.2.7).
+
+Every stage that is SQL-expressible carries a full DuckDB oracle —
+including MinHash LSH and SimHash, which is only possible because all
+hashing is md5-based (functions/hashing.py).  The oracle SQL for the
+multi-stage operators is generated from the same knobs as the Spark
+plan so the two can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ..sources import load
+from ..functions.rounding import pround
+from .registry import query
+
+# ---------------------------------------------------------------- knobs
+NUM_HASHES = 8
+BANDS = 4
+MAX_BUCKET = 50
+JACCARD_T = 0.3
+# 32 nibbles / hamming ≤ 1: the fixture corpus is homogeneous word
+# salad (tiny shared vocabulary), so narrower fingerprints collide on
+# ~half of all pairs — 32/1 keeps near-dup output meaningful (~4k of
+# 125k possible pairs at sf0.01).
+SIMHASH_NIBBLES = 32
+SIMHASH_MAX_HAMMING = 1
+SIMHASH_CHUNKS = 4
+ANN_QUERY_LIMIT = 50   # vec_id < 50 are the query vectors
+ANN_K = 5
+ANN_PLANES = 6
+EMB_DIM = 64
+
+# Shared DuckDB CTE: distinct word-3gram shingles per doc (mirrors
+# operators/dedup.word_shingles exactly).
+_SHINGLES_CTE = """
+    words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      FROM words WHERE len(w) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM idx
+    )
+"""
+
+# ------------------------------------------------------------------ dedup
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_key,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    covers=("EXT-dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content; keeper = min id.
+    The shuffle moves 32-byte hashes, not document bodies — the detail
+    that matters at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n        ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(NUM_HASHES))
+    rows = NUM_HASHES // BANDS
+    band_pieces = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bucket FROM mh".format(
+            b=b,
+            key=" || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id,
+        {mh_cols}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      {band_pieces}
+    ), sized AS (
+      SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsize FROM banded
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id AND a.bsize <= {MAX_BUCKET} AND b.bsize <= {MAX_BUCKET}
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           floor((i.n_common / (na.n + nb.n - i.n_common)) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE floor((i.n_common / (na.n + nb.n - i.n_common)) * 10000 + 0.5) / 10000 >= {JACCARD_T}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(), covers=("EXT-dedup",),
+       bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word-3gram shingles → 8-wide md5 MinHash →
+    4 bands × 2 rows LSH bucketing → exact Jaccard verification of
+    candidates (≥ 0.3).
+
+    Scale shape: explode (map-side) → 1 groupBy for signatures →
+    1 groupBy per band for buckets → candidate self-join bounded by
+    ``MAX_BUCKET`` (the skew guard) → verification join linear in
+    candidates.  Never all-pairs."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "text", "doc_id")
+    sig = D.minhash_signatures(sh, "doc_id", NUM_HASHES)
+    cand = D.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS, MAX_BUCKET)
+    return D.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_common
+      FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           floor((i.n_common / (na.n + nb.n - i.n_common)) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE floor((i.n_common / (na.n + nb.n - i.n_common)) * 10000 + 0.5) / 10000 >= {JACCARD_T}
+    """,
+    covers=("EXT-dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive n-gram Jaccard: candidates = any pair sharing a
+    shingle (inverted-index join).  The exact-recall baseline that
+    dedup_minhash_lsh approximates — quadratic in hot shingles, so LSH
+    is the scale path; this one exists to measure LSH recall."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "text", "doc_id")
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (sa.join(sb, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    return D.jaccard_verify(
+        inter.select("id_a", "id_b"), sh, "doc_id", JACCARD_T)
+
+
+def _simhash_fp_cte() -> str:
+    return f"""
+    tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), votes AS (
+      SELECT doc_id, unnest(generate_series(1, {SIMHASH_NIBBLES})) AS pos,
+             md5(token) AS h
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, pos,
+             CASE WHEN CAST(sum(strpos('0123456789abcdef', substr(h, pos, 1)) - 1) AS DOUBLE)
+                       / count(*) > 7.5
+                  THEN '1' ELSE '0' END AS bit
+      FROM votes GROUP BY doc_id, pos
+    ), fp AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dedup_simhash_fingerprints",
+    oracle=f"WITH {_simhash_fp_cte()} SELECT doc_id, simhash FROM fp",
+    covers=("EXT-dedup",),
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document (nibble-vote over md5 token
+    hashes — operators/dedup.simhash)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash(docs, "text", "doc_id", SIMHASH_NIBBLES)
+
+
+def _simhash_pairs_oracle() -> str:
+    clen = SIMHASH_NIBBLES // SIMHASH_CHUNKS
+    blocked = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, "
+        f"substr(simhash, {c * clen + 1}, {clen}) AS ckey FROM fp"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN substr(sh_a, {i}, 1) <> substr(sh_b, {i}, 1) THEN 1 ELSE 0 END)"
+        for i in range(1, SIMHASH_NIBBLES + 1)
+    )
+    return f"""
+    WITH {_simhash_fp_cte()},
+    blocked AS (
+      {blocked}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM blocked a JOIN blocked b
+        ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {hamming} AS hamming
+    FROM pairs
+    WHERE {hamming} <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle(),
+       covers=("EXT-dedup",))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole chunk blocking + positional
+    hamming verification (≤ 2 of 16 nibble-bits)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = D.simhash(docs, "text", "doc_id", SIMHASH_NIBBLES)
+    return (D.simhash_near_dups(fp, "doc_id", SIMHASH_NIBBLES,
+                                SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS)
+            .withColumn("hamming", F.col("hamming").cast("int")))
+
+
+# ------------------------------------------------------- similarity search
+
+_VEC_CTE = """
+    v AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    q AS (SELECT * FROM v WHERE vec_id < {ANN_QUERY_LIMIT}),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.x * c.x) AS dot
+      FROM q JOIN v c ON q.i = c.i AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2
+    ), sims AS (
+      SELECT d.query_id, d.neighbor_id,
+             floor((d.dot / (nq.nrm * nc.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nc ON d.neighbor_id = nc.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {ANN_K}
+    """,
+    covers=("EXT-similarity",),
+    bench=True,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact baseline): query set ×
+    corpus, JVM-side zip_with/aggregate dot products, per-query window
+    top-k.  Right answer when |Q| is small; the LSH variant below is
+    the corpus×corpus scale path."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)
+    return S.cosine_topk(emb, queries, ANN_K)
+
+
+def _ann_lsh_oracle() -> str:
+    return f"""
+    WITH {_VEC_CTE},
+    planes AS (SELECT unnest(generate_series(0, {ANN_PLANES - 1})) AS p),
+    sb AS (
+      SELECT v.vec_id, planes.p,
+             CASE WHEN floor((sum(v.x * (CASE WHEN
+                    strpos('0123456789abcdef',
+                           substr(md5(planes.p || '_' || CAST(v.i - 1 AS VARCHAR)), 1, 1)) - 1 >= 8
+                    THEN 1 ELSE -1 END))) * 1000000000 + 0.5) / 1000000000 > 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM v CROSS JOIN planes
+      GROUP BY v.vec_id, planes.p
+    ), buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sb GROUP BY vec_id
+    ),
+    qb AS (SELECT * FROM buckets WHERE vec_id < {ANN_QUERY_LIMIT}),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qb q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ), dots AS (
+      SELECT cand.query_id, cand.neighbor_id, sum(a.x * b.x) AS dot
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2
+    ), sims AS (
+      SELECT d.query_id, d.neighbor_id,
+             floor((d.dot / (nq.nrm * nc.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nc ON d.neighbor_id = nc.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {ANN_K}
+    """
+
+
+@query("embedding_ann_lsh", oracle=_ann_lsh_oracle(), covers=("EXT-similarity",))
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane sign-LSH: md5-derived ±1
+    planes (shared with the oracle), bucket on the 6-bit signature,
+    exact cosine within buckets only.  Candidate volume drops
+    ~2^planes; recall tunes with plane count / multi-probe."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)
+    return S.lsh_cosine_topk(emb, queries, ANN_K, EMB_DIM, ANN_PLANES)
+
+
+# ------------------------------------------------------------ text analysis
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+_SW_SQL = {
+    "de": "['der','die','und','das','ist']",
+    "en": "['the','and','of','to','a']",
+    "es": "['el','la','de','que','y']",
+    "fr": "['le','les','et','des','un']",
+    "zh": "['的','是','在','了','我']",
+}
+
+
+def _lang_id_oracle() -> str:
+    hits = ",\n             ".join(
+        f"len(list_filter(w, x -> list_contains({_SW_SQL[l]}, x))) AS h_{l}"
+        for l in _LANGS)
+    m = "greatest(" + ", ".join(f"h_{l}" for l in _LANGS) + ")"
+    chain = "\n             ".join(
+        f"WHEN h_{l} = {m} THEN '{l}'" for l in _LANGS)
+    return f"""
+    WITH words AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang, len(w) AS n_words,
+             {hits}
+      FROM words
+    )
+    SELECT doc_id, lang,
+           CASE WHEN n_words <= 0 OR {m} <= 0 THEN 'und'
+             {chain}
+             ELSE 'und' END AS predicted_lang
+    FROM hits
+    """
+
+
+@query("text_language_id", oracle=_lang_id_oracle(), covers=("EXT-text",))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (operators/text.language_id).
+    Fixture lang labels are synthetic, so the check is computational
+    parity, not accuracy."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        X.language_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w,
+             floor((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                   / greatest(length(text), 1)) * 10000 + 0.5) / 10000 AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_words,
+           punct_ratio,
+           floor(((least(len(w) / 100.0, 1.0)
+                  + len(list_distinct(w)) / greatest(len(w), 1)
+                  + 1.0 - least(punct_ratio * 10, 1.0)) / 3.0) * 10000 + 0.5) / 10000 AS quality_score
+    FROM base
+    """,
+    covers=("EXT-text",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality heuristics: saturating length score +
+    lexical diversity + punctuation sanity (operators/text.quality_score)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.word_count(F.col("text")).alias("n_words"),
+        X.punct_ratio(F.col("text")).alias("punct_ratio"),
+        X.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+             AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))
+             AS bpe_ish_tokens
+    FROM documents
+    """,
+    covers=("EXT-text",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts (operators/text.token_counts)."""
+    docs = load(spark, sf_dir, "documents")
+    return X.token_counts(docs, "text", "doc_id")
+
+
+@query(
+    "text_fingerprints",
+    oracle="""
+    WITH base AS (SELECT doc_id, lower(trim(text)) AS t FROM documents)
+    SELECT doc_id,
+           md5(t) AS content_md5,
+           list_aggregate(
+             list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+                            i -> md5(substr(t, i, 8))), 'min') AS winnow_fp
+    FROM base
+    """,
+    covers=("EXT-text",),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content md5 + winnowing-style min-hash over rolling char 8-grams
+    (operators/text.fingerprints)."""
+    docs = load(spark, sf_dir, "documents")
+    return X.fingerprints(docs, "text", "doc_id")
+
+
+@query(
+    "doc_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 100 + 0.5) / 100 AS avg_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+    covers=("A1", "EXT-text"),
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus census per (lang, source)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pround(F.sum("n_chars").cast("double") / F.count("n_chars"), 2)
+             .alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# -------------------------------------------------------------- multimodal
+
+@query(
+    "multimodal_manifest",
+    oracle="""
+    SELECT doc_id,
+           'text' AS media_kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           source, lang
+    FROM documents
+    """,
+    covers=("EXT-multimodal",),
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload manifest: media as opaque bytes + typed metadata
+    (operators/multimodal.to_media_table).  md5 over the raw payload
+    bytes proves the binary column round-trips exactly."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.to_media_table(docs)
+    return media.select(
+        "doc_id", "media_kind",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.source").alias("source"),
+        F.col("meta.lang").alias("lang"),
+    )
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           'text' AS media_kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+    FROM documents
+    """,
+    covers=("EXT-multimodal",),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas 'decode' over binary payloads
+    (operators/multimodal.decode_media).  The kernel is a deterministic
+    stub (no codec libs in this container) but the plumbing — schema,
+    Arrow batches, partition flow — is the production shape, so even
+    this Python stage is oracle-checked."""
+    docs = load(spark, sf_dir, "documents")
+    return M.decode_media(M.to_media_table(docs))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(generate_series(0,
+                greatest(octet_length(encode(text)) - 1, 0), 64)) AS INT)
+             AS frame_offset
+    FROM documents
+    """,
+    covers=("EXT-multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out shape: one row per sampled byte offset
+    (JVM-side explode — operators/multimodal.frame_sample)."""
+    docs = load(spark, sf_dir, "documents")
+    return (M.frame_sample(M.to_media_table(docs), 64)
+            .withColumn("frame_offset", F.col("frame_offset").cast("int")))

@@ -1,0 +1,231 @@
+"""Benchmark / multi-join queries over the driver's TPC-H-ish fixtures.
+
+These are the headline bench queries (bench.py) and the widest join
+exercises (SURVEY.md §2.4 J1–J4).  Plans are checked with
+``.explain``: filters land in PushedFilters, dims go broadcast, aggs
+are partial+final.
+
+Numeric policy (functions/rounding.py): monetary aggregates are summed
+in exact decimal and surfaced as double (order-independent, engine-
+independent); quantities are integer-valued doubles whose sums are
+already exact; averages are spelled exact-sum ÷ count on both engines
+(never the engine's avg(), whose accumulation strategy is unspecified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.rounding import pround
+from ..sources import load
+from .registry import query
+
+# exact decimal forms of the lineitem money expressions
+_DEC_EP = 'CAST(l_extendedprice AS DECIMAL(18,4))'
+_DEC_DISC = 'CAST(1 - l_discount AS DECIMAL(8,4))'
+_DEC_TAX = 'CAST(1 + l_tax AS DECIMAL(8,4))'
+
+
+def _dec_ep():
+    return F.col("l_extendedprice").cast("decimal(18,4)")
+
+
+def _dec_disc():
+    return (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+
+
+def _dec_tax():
+    return (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+           floor(CAST(sum({_DEC_EP}) AS DOUBLE) * 100 + 0.5) / 100 AS sum_base_price,
+           floor(CAST(sum({_DEC_EP} * {_DEC_DISC}) AS DOUBLE) * 100 + 0.5) / 100
+             AS sum_disc_price,
+           floor(CAST(sum({_DEC_EP} * {_DEC_DISC} * {_DEC_TAX}) AS DOUBLE) * 100 + 0.5) / 100
+             AS sum_charge,
+           floor(sum(l_quantity) / count(*) * 100 + 0.5) / 100 AS avg_qty,
+           floor(CAST(sum({_DEC_EP}) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS avg_price,
+           floor(CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+             AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    covers=("S1", "A1", "P12", "P13", "F2"),
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship query.
+
+    Scan + pushed filter + 8 partial/final aggregates over 2 group
+    keys.  One shuffle total (map-side partial agg); the shipdate
+    predicate reaches the parquet scan (PushedFilters).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum(_dec_ep()).cast("double"), 2).alias("sum_base_price"),
+            pround(F.sum(_dec_ep() * _dec_disc()).cast("double"), 2)
+             .alias("sum_disc_price"),
+            pround(F.sum(_dec_ep() * _dec_disc() * _dec_tax()).cast("double"), 2)
+             .alias("sum_charge"),
+            pround(F.sum("l_quantity") / n, 2).alias("avg_qty"),
+            pround(F.sum(_dec_ep()).cast("double") / n, 2).alias("avg_price"),
+            pround(F.sum(F.col("l_discount").cast("decimal(8,4)")).cast("double") / n, 4)
+             .alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+           floor(CAST(sum({_DEC_EP} * {_DEC_DISC}) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+    """,
+    covers=("J1", "J2", "A2", "P9"),
+    bench=True,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join (TPC-H Q5 shape): big×big on orderkey, dims broadcast.
+
+    lineitem↔orders shuffles on the join key once; customer/nation/
+    region ride broadcast-hash joins.  Region filter prunes before the
+    join."""
+    li, orders, customer, nation, region = (
+        load(spark, sf_dir, t) for t in
+        ("lineitem", "orders", "customer", "nation", "region"))
+    asia = region.filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(asia), nation.n_regionkey == asia.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("order_year"))
+        .agg(
+            pround(F.sum(_dec_ep() * _dec_disc()).cast("double"), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "top_revenue_orders",
+    oracle=f"""
+    SELECT l.l_orderkey AS order_key,
+           floor(CAST(sum({_DEC_EP} * {_DEC_DISC}) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority AS order_priority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, order_key
+    LIMIT 10
+    """,
+    covers=("O1", "J2", "F1", "F2"),
+    bench=True,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered 3-way join → top-10 revenue orders.
+
+    Executes as TakeOrderedAndProject — per-partition top-k then a
+    driver merge, no global sort (the 100 TB-safe top-k form).
+    Deterministic under ties: exact decimal revenue + order_key
+    tiebreak."""
+    li, orders, customer = (load(spark, sf_dir, t)
+                            for t in ("lineitem", "orders", "customer"))
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(building), orders.o_custkey == building.c_custkey)
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(pround(F.sum(_dec_ep() * _dec_disc()).cast("double"), 2).alias("revenue"))
+        .select("order_key", "revenue", "order_date", "order_priority")
+        .orderBy(F.desc("revenue"), F.asc("order_key"))
+        .limit(10)
+    )
+
+
+@query(
+    "order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority AS order_priority,
+           count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+    """,
+    covers=("F5", "J5", "A1"),
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery → left-semi join."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big_items = li.filter(F.col("l_quantity") > 45).select("l_orderkey").distinct()
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+        .join(big_items, orders.o_orderkey == big_items.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+           floor(CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                               THEN {_DEC_EP} * {_DEC_DISC} END) AS DOUBLE)
+                 * 100.0 / CAST(sum({_DEC_EP} * {_DEC_DISC}) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY CAST(EXTRACT(year FROM l.l_shipdate) AS INT)
+    """,
+    covers=("A3", "P15", "J1"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate over a join (CASE WHEN
+    inside SUM, no ELSE → nulls ignored), part side broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = _dec_ep() * _dec_disc()
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(pround(F.sum(promo).cast("double") * 100.0 /
+                    F.sum(rev).cast("double"), 4).alias("promo_share"))
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Local-mode defaults are tuned for the test harness (local[32], single
+JVM); the same builder flags are what we would ship on a real cluster —
+AQE handles partition coalescing / skew at any scale, UTC pins
+timestamp semantics for oracle comparison, Arrow accelerates the few
+pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "ecommerce_data_engineering_spark",
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    At 100 TB the master/memory flags come from the cluster manager
+    instead, but every ``spark.sql.*`` setting below is scale-neutral:
+
+    - AQE + coalesce + skewJoin: runtime re-planning replaces hand-tuned
+      shuffle partition counts and manual skew salting for most plans.
+    - ``shuffle.partitions`` is only the *initial* number; AQE coalesces.
+    - UTC session timezone: deterministic date extraction regardless of
+      host timezone (and matches the DuckDB oracle, which is UTC-naive).
+    - ANSI mode stays at the Spark 4 default (on); coercion semantics
+      that need invalid→NULL use ``try_cast`` explicitly.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the driver fixtures store events.ts as TIMESTAMP(NANOS), which
+        # Spark's vectorized reader rejects; read as long and convert
+        # (sources/readers.py handles the cast back to timestamp)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

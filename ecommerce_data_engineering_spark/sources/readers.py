@@ -1,0 +1,69 @@
+"""Sources: parquet fixture loader + declared-schema CSV reader.
+
+Covers SURVEY.md §2.1 S1–S3:
+  S1/S2 CSV scan  (reference: airflow/dags/staging_dag.py:65-68,164-201)
+        → ``spark.read.csv`` with an explicit StructType; Spark splits
+        the file into input partitions itself, so the reference's
+        manual 1000-row chunking disappears.
+  S3    expected-columns validation (staging_dag.py:35-45)
+        → ``validate_columns``.
+
+Parquet is the at-rest format (columnar, pushdown-friendly); every
+query reads with ``load``/``load_many`` so filters and projections
+reach the scan (check via ``df.explain`` → PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class MissingColumnsError(ValueError):
+    """Raised when a source is missing expected columns (DQ check Q1)."""
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one fixture table: ``{sf_dir}/{table}.parquet``.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that
+    we convert to a microsecond timestamp (integer DIV — no float
+    round-trip; the fixture nanos are all whole microseconds).
+
+    Both confs are set at read time (not only in our session factory)
+    because the caller may hand us an externally-built SparkSession —
+    the driver contract does exactly that."""
+    from pyspark.sql import functions as F
+
+    if table == "events":
+        # runtime-settable; required to scan TIMESTAMP(NANOS) parquet
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_many(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
+    return [load(spark, sf_dir, t) for t in tables]
+
+
+def validate_columns(df: DataFrame, expected: list[str], source: str = "<df>") -> DataFrame:
+    """Fail fast if expected columns are missing (staging_dag.py:35-45)."""
+    missing = [c for c in expected if c not in df.columns]
+    if missing:
+        raise MissingColumnsError(f"{source}: missing expected columns {missing}")
+    return df
+
+
+def read_csv_declared(spark: SparkSession, path: str, schema: T.StructType,
+                      header: bool = True) -> DataFrame:
+    """CSV scan with declared schema, invalid values → NULL.
+
+    PERMISSIVE mode reproduces pandas ``errors='coerce'`` semantics
+    (staging_dag.py:102-103): a malformed cell nulls out instead of
+    failing the load; the DQ suite then counts the nulls.
+    """
+    df = spark.read.csv(path, header=header, schema=schema, mode="PERMISSIVE")
+    return validate_columns(df, [f.name for f in schema.fields], path)

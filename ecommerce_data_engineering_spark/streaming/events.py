@@ -1,0 +1,68 @@
+"""Structured Streaming over the events table (extension surface —
+the reference has no streaming, SURVEY.md §2.11; this reproduces the
+events_hourly_rollup batch query incrementally).
+
+Pattern: readStream(parquet) → event-time watermark → tumbling window
+aggregation → sink.  In production the source is Kafka/files-arriving;
+here the fixture parquet directory drives the same query via
+Trigger.AvailableNow, which is also the correctness harness: the
+streamed result must equal the batch result on the same input.
+
+Late data: the 1-hour watermark bounds state — aggregation state for
+windows older than (max event time − 1 h) is evicted, which is what
+lets this run forever at firehose scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..schemas import FIXTURES
+
+# events.ts is parquet TIMESTAMP(NANOS): with
+# spark.sql.legacy.parquet.nanosAsLong the scan yields a long that we
+# convert to a microsecond timestamp (same path as sources/readers.py).
+_STREAM_SCHEMA = T.StructType([
+    f if f.name != "ts" else T.StructField("ts", T.LongType())
+    for f in FIXTURES["events"].fields
+])
+
+
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DataFrame: hourly tumbling counts/sums per event_type."""
+    # FileStreamSource wants a directory; the fixture is a single file,
+    # so stream the directory with a glob filter on the events table.
+    src = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str,
+                         timeout_s: int = 120) -> DataFrame:
+    """Drive a streaming query to completion on the available input
+    (Trigger.AvailableNow) and return the materialized result."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = stream_df.sparkSession
+    return spark.sql(f"SELECT * FROM {name}")

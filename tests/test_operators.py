@@ -1,0 +1,86 @@
+"""Unit tests for the reusable operators: upsert, range join, top-k,
+multimodal stubs, text functions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_data_engineering_spark.operators import (
+    decode_media, frame_sample, insert_if_absent, keyed_upsert,
+    range_join, range_join_by_expansion, to_media_table, topk_per_group)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world of spark", "en", "web", 20),
+         (2, "bonjour le monde", "fr", "web", 16),
+         (3, "hello world of spark", "en", "crawl", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_keyed_upsert_batch_wins(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    batch = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    out = {(r.k, r.v) for r in keyed_upsert(old, batch, "k").collect()}
+    assert out == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_insert_if_absent_first_writer_wins(spark):
+    existing = spark.createDataFrame([(1, "a")], "k long, v string")
+    incoming = spark.createDataFrame([(1, "A"), (2, "B")], "k long, v string")
+    out = {(r.k, r.v) for r in insert_if_absent(existing, incoming, "k").collect()}
+    assert out == {(1, "a"), (2, "B")}
+
+
+def test_range_join_variants_agree(spark):
+    points = spark.createDataFrame(
+        [("2024-01-05",), ("2024-02-10",), ("2024-03-01",)], "d string"
+    ).select(F.col("d").cast("date").alias("d"))
+    intervals = spark.createDataFrame(
+        [("I1", "2024-01-01", "2024-01-31"), ("I2", "2024-02-01", "2024-03-05")],
+        "iid string, lo string, hi string",
+    ).select("iid", F.col("lo").cast("date").alias("lo"),
+             F.col("hi").cast("date").alias("hi"))
+    a = {tuple(map(str, r)) for r in
+         range_join(points, intervals, "d", "lo", "hi").collect()}
+    b = {tuple(map(str, r)) for r in
+         range_join_by_expansion(points, intervals, "d", "lo", "hi")
+         .select("d", "iid", "lo", "hi").collect()}
+    a_norm = {(r[0], r[1], r[2], r[3]) for r in a}
+    assert len(a) == 3
+    assert {x[0] for x in a_norm} == {x[0] for x in b}
+    assert {x[1] for x in a_norm} == {x[1] for x in b}
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 3.0), ("g1", 2.0), ("g2", 9.0)], "g string, v double")
+    out = topk_per_group(df, ["g"], [F.desc("v")], 2)
+    got = {(r.g, r.v) for r in out.collect()}
+    assert got == {("g1", 3.0), ("g1", 2.0), ("g2", 9.0)}
+
+
+def test_media_roundtrip_and_decode_stub(docs):
+    media = to_media_table(docs)
+    decoded = decode_media(media)
+    rows = {r.doc_id: r for r in decoded.collect()}
+    assert rows[1].n_bytes == 20 and rows[1].width == 21 and rows[1].height == 21
+    assert rows[1].checksum == rows[3].checksum          # same payload bytes
+    assert rows[2].checksum != rows[1].checksum
+
+
+def test_decode_real_path_raises(docs):
+    with pytest.raises(Exception) as ei:
+        decode_media(to_media_table(docs), real_decode=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+
+
+def test_frame_sample_offsets(docs):
+    media = to_media_table(docs)
+    out = frame_sample(media, every_n_bytes=8)
+    offs = sorted(r.frame_offset for r in out.filter("doc_id = 1").collect())
+    assert offs == [0, 8, 16]

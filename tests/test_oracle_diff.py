@@ -1,0 +1,36 @@
+"""Primary correctness gate: every registered query hash-matches its
+DuckDB oracle on the same parquet fixtures (SURVEY.md §5.2.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ecommerce_data_engineering_spark.plans import REGISTRY
+
+from .oracle import compare, duckdb_run
+
+ORACLE_CASES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ROWS_ONLY_CASES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    spark_df = spec.fn(spark, sf_dir)
+    oracle_pdf = duckdb_run(spec.oracle, sf_dir)
+    problems = compare(spark_df, oracle_pdf, name)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0 and len(df.schema) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
