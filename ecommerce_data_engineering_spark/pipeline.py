@@ -1,0 +1,412 @@
+"""The full reference pipeline — staging → warehouse → analytics — over
+the e-commerce schema, DECIMAL money preserved (SURVEY.md §3).
+
+This is the fidelity layer: each function reproduces one Airflow task
+of the reference (staging_dag.py / warehouse_dag.py / analytics_dag.py)
+as a DataFrame build.  The Airflow task graph collapses into plain
+function ordering inside one SparkSession (SURVEY.md §3.4); the
+documented quirks (§7.4.5) are replicated and cited inline.
+
+Scale posture: dims broadcast; facts shuffle once on their join key;
+every analytics table is a single groupBy; campaign attribution uses
+the broadcast range join (25 campaigns) with the date-expansion
+equi-join available for bigger campaign tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import AS_OF_DATE
+from .functions.cleaning import clean_string, coerce_numeric, fill_unknown
+from .functions.dates import date_key, day_name, is_weekend, month_name, pg_dow
+from .operators.range_join import range_join
+from .operators.scd2 import scd2_merge
+from .operators.upsert import keyed_upsert
+from . import quality as Q
+
+# ---------------------------------------------------------------- staging
+
+
+def stage_customers(raw: DataFrame) -> DataFrame:
+    """staging_dag.py:52-84: email lower+trim (P1), segment fillna (P2)."""
+    return (raw
+            .withColumn("email", clean_string("email"))
+            .withColumn("customer_segment", fill_unknown("customer_segment")))
+
+
+def stage_products(raw: DataFrame) -> DataFrame:
+    """staging_dag.py:90-120: price coercion (P3) + dropna (P5)."""
+    return (raw
+            .withColumn("cost_price", coerce_numeric("cost_price"))
+            .withColumn("selling_price", coerce_numeric("selling_price"))
+            .na.drop(subset=["cost_price", "selling_price"]))
+
+
+def stage_orders(raw: DataFrame) -> DataFrame:
+    """staging_dag.py:126-156: date coercion (P4) + dropna (P5)."""
+    return (raw
+            .withColumn("order_date", F.col("order_date").try_cast("date"))
+            .na.drop(subset=["order_date", "customer_id"]))
+
+
+def staging_quality(staged: dict[str, DataFrame]) -> list[Q.CheckResult]:
+    """staging_dag.py:233-259 (Q2-Q4), soft-logged like the reference."""
+    return [
+        Q.check_row_count(staged["customers"], 1, "customers"),
+        Q.check_row_count(staged["orders"], 1, "orders"),
+        Q.check_null_count(staged["customers"], "email", at_most=10**9, soft=True),
+        Q.check_rule(staged["products"],
+                     (F.col("cost_price") <= 0) | (F.col("selling_price") <= 0),
+                     "invalid_prices", at_most=10**9, soft=True),
+    ]
+
+
+# -------------------------------------------------------------- warehouse
+
+
+def _empty_dim(staging: DataFrame, key: str, attrs: list[str],
+               as_of: str) -> DataFrame:
+    """Initial SCD2 load: every staged row becomes a current version."""
+    return (staging.select(key, *attrs)
+            .withColumn("effective_date", F.lit(as_of).cast("date"))
+            .withColumn("expiry_date", F.lit("9999-12-31").cast("date"))
+            .withColumn("is_current", F.lit(True)))
+
+
+def build_dim_customers(staged: DataFrame, prior: DataFrame | None,
+                        as_of: str = AS_OF_DATE) -> DataFrame:
+    """warehouse_dag.py:31-92 — SCD2 on segment/city/country."""
+    attrs = ["email", "customer_segment", "city", "country",
+             "registration_date"]
+    snapshot = staged.select("customer_id", *attrs)
+    if prior is None:
+        return _empty_dim(snapshot, "customer_id", attrs, as_of)
+    return scd2_merge(prior, snapshot, "customer_id",
+                      tracked=["customer_segment", "city", "country"],
+                      as_of_date=as_of)
+
+
+def build_dim_products(staged: DataFrame, prior: DataFrame | None,
+                       as_of: str = AS_OF_DATE) -> DataFrame:
+    """warehouse_dag.py:94-153 — SCD2 on cost/sell/is_active, plus the
+    profit-margin projection (P12/P13, warehouse_dag.py:128)."""
+    margin = F.when(
+        F.col("selling_price") > 0,
+        F.round((F.col("selling_price") - F.col("cost_price"))
+                / F.col("selling_price") * 100, 2),
+    ).cast("decimal(5,2)")
+    snapshot = (staged
+                .withColumn("profit_margin", margin)
+                .select("product_id", "product_name", "category", "brand",
+                        "cost_price", "selling_price", "profit_margin",
+                        "is_active"))
+    attrs = [c for c in snapshot.columns if c != "product_id"]
+    if prior is None:
+        return _empty_dim(snapshot, "product_id", attrs, as_of)
+    return scd2_merge(prior, snapshot, "product_id",
+                      tracked=["cost_price", "selling_price", "is_active"],
+                      as_of_date=as_of)
+
+
+def build_dim_time(orders_staged: DataFrame,
+                   prior: DataFrame | None = None) -> DataFrame:
+    """warehouse_dag.py:160-180: distinct order dates → calendar
+    attributes (P8-P11; PG DOW semantics), insert-if-absent (M4)."""
+    d = F.col("order_date")
+    fresh = (orders_staged.select(d.alias("order_date")).distinct()
+             .select(
+                 date_key(d).alias("time_key"),
+                 d.cast("date").alias("full_date"),
+                 pg_dow(d).alias("day_of_week"),
+                 day_name(d).alias("day_name"),
+                 F.dayofmonth(d).alias("day_of_month"),
+                 F.dayofyear(d).alias("day_of_year"),
+                 F.weekofyear(d).alias("week_of_year"),
+                 F.month(d).alias("month"),
+                 month_name(d).alias("month_name"),
+                 F.quarter(d).alias("quarter"),
+                 F.year(d).alias("year"),
+                 is_weekend(d).alias("is_weekend"),
+             ))
+    if prior is None:
+        return fresh
+    from .operators.upsert import insert_if_absent
+    return insert_if_absent(prior, fresh, "time_key")
+
+
+def _surrogate(dim: DataFrame, natural_key: str, surrogate: str) -> DataFrame:
+    """P20: deterministic surrogate keys for current dim rows."""
+    w = Window.orderBy(natural_key)
+    return (dim.filter(F.col("is_current"))
+            .withColumn(surrogate, F.row_number().over(w)))
+
+
+def build_fact_orders(orders_staged: DataFrame, dim_customers: DataFrame,
+                      prior: DataFrame | None = None) -> DataFrame:
+    """warehouse_dag.py:202-227: resolve surrogate keys against current
+    dim rows (J1/J4), smart date key (P8), profit = total−tax−shipping
+    (P12), `total_items = 1` hardcode (quirk, warehouse_dag.py:224),
+    idempotent keyed upsert (M2)."""
+    dim = _surrogate(dim_customers, "customer_id", "customer_key")
+    fact = (
+        orders_staged.join(F.broadcast(dim.select("customer_id", "customer_key")),
+                           "customer_id")
+        .select(
+            "order_id",
+            "customer_key",
+            date_key("order_date").alias("order_date_key"),
+            "order_status",
+            "subtotal", "discount_amount", "shipping_cost", "tax_amount",
+            "total_amount",
+            (F.col("total_amount") - F.col("tax_amount")
+             - F.col("shipping_cost")).cast("decimal(12,2)").alias("profit"),
+            F.lit(1).alias("total_items"),
+        )
+    )
+    return fact if prior is None else keyed_upsert(prior, fact, "order_id")
+
+
+def build_fact_order_items(items_staged: DataFrame, fact_orders: DataFrame,
+                           dim_products: DataFrame,
+                           prior: DataFrame | None = None) -> DataFrame:
+    """warehouse_dag.py:247-273 (J2 multi-way): items resolve order facts
+    + current products; item profit = (price − cost) × qty (P12)."""
+    dimp = _surrogate(dim_products, "product_id", "product_key")
+    fact = (
+        items_staged
+        .join(fact_orders.select("order_id", "customer_key", "order_date_key"),
+              "order_id")
+        .join(F.broadcast(dimp.select("product_id", "product_key", "cost_price")),
+              "product_id")
+        .select(
+            "order_item_id", "order_id", "customer_key", "product_key",
+            "order_date_key", "quantity", "unit_price", "total_price",
+            ((F.col("unit_price") - F.col("cost_price")) * F.col("quantity"))
+            .cast("decimal(12,2)").alias("item_profit"),
+        )
+    )
+    return fact if prior is None else keyed_upsert(prior, fact, "order_item_id")
+
+
+def warehouse_quality(fact_orders: DataFrame,
+                      dim_customers: DataFrame) -> list[Q.CheckResult]:
+    """warehouse_dag.py:462-488: current-row count + orphan FK check."""
+    current = dim_customers.filter("is_current")
+    return [
+        Q.check_row_count(current, 1, "dim_customers_current"),
+        Q.check_referential(
+            fact_orders, _surrogate(dim_customers, "customer_id", "customer_key"),
+            "customer_key", "customer_key", "fact_orders→dim_customers"),
+    ]
+
+
+# -------------------------------------------------------------- analytics
+
+
+def build_customer_metrics(dim_customers: DataFrame, fact_orders: DataFrame,
+                           as_of: str = AS_OF_DATE) -> DataFrame:
+    """analytics_dag.py:44-69: per-customer rollup + churn tiers."""
+    dim = _surrogate(dim_customers, "customer_id", "customer_key")
+    as_of_c = F.lit(as_of).cast("date")
+    last_dk = F.max("order_date_key")
+    last_date = F.to_date(last_dk.cast("string"), "yyyyMMdd")
+    days_since = F.datediff(as_of_c, last_date)
+    return (
+        dim.join(fact_orders, "customer_key", "left")
+        .groupBy("customer_id", "customer_key", "customer_segment")
+        .agg(
+            F.count("order_id").alias("total_orders"),
+            F.coalesce(F.sum("total_amount"),
+                       F.lit(0).cast("decimal(12,2)")).alias("lifetime_value"),
+            F.coalesce(F.avg("total_amount"),
+                       F.lit(0).cast("decimal(12,2)")).alias("avg_order_value"),
+            F.min(F.to_date(F.col("order_date_key").cast("string"), "yyyyMMdd"))
+             .alias("first_order_date"),
+            last_date.alias("last_order_date"),
+            days_since.alias("days_since_last_order"),
+            F.when(last_dk.isNull(), "No Orders")
+             .when(days_since > 365, "High")
+             .when(days_since > 180, "Medium")
+             .otherwise("Low").alias("churn_risk"),
+        )
+        .drop("customer_key")
+    )
+
+
+def build_product_metrics(dim_products: DataFrame, fact_items: DataFrame,
+                          inventory_staged: DataFrame) -> DataFrame:
+    """analytics_dag.py:85-122 with the CTE total_inventory (A6) and the
+    PG truncating integer division (P21 — floor, §7.4.4)."""
+    dimp = _surrogate(dim_products, "product_id", "product_key")
+    total_inv = (inventory_staged.groupBy("product_id")
+                 .agg(F.sum("current_stock").alias("total_stock")))
+    sales = (fact_items.groupBy("product_key")
+             .agg(F.sum("quantity").alias("units_sold"),
+                  F.sum("total_price").alias("total_revenue"),
+                  F.sum("item_profit").alias("total_profit"),
+                  F.countDistinct("order_id").alias("order_count")))
+    return (
+        dimp.join(sales, "product_key", "left")
+        .join(total_inv, "product_id", "left")
+        .select(
+            "product_id", "product_name", "category", "brand",
+            "profit_margin",
+            F.coalesce("units_sold", F.lit(0)).alias("units_sold"),
+            F.coalesce(F.col("total_revenue"), F.lit(0).cast("decimal(12,2)"))
+             .alias("total_revenue"),
+            F.coalesce(F.col("total_profit"), F.lit(0).cast("decimal(12,2)"))
+             .alias("total_profit"),
+            F.coalesce("order_count", F.lit(0)).alias("order_count"),
+            F.coalesce("total_stock", F.lit(0)).alias("total_stock"),
+            # analytics_dag.py:114-117: guard + truncating division
+            F.when(F.coalesce("total_stock", F.lit(0)) > 0,
+                   F.floor(F.coalesce("units_sold", F.lit(0))
+                           / F.col("total_stock")).cast("int"))
+             .otherwise(0).alias("stock_turnover"),
+        )
+    )
+
+
+def build_daily_sales(fact_orders: DataFrame) -> DataFrame:
+    """analytics_dag.py:150-163 (incl. new_customers = 0 placeholder)."""
+    return (
+        fact_orders
+        .groupBy(F.to_date(F.col("order_date_key").cast("string"), "yyyyMMdd")
+                 .alias("sales_date"))
+        .agg(F.countDistinct("order_id").alias("total_orders"),
+             F.sum("total_amount").alias("total_revenue"),
+             F.avg("total_amount").alias("avg_order_value"),
+             F.countDistinct("customer_key").alias("unique_customers"))
+        .withColumn("new_customers", F.lit(0))
+    )
+
+
+def build_monthly_trends(daily_sales: DataFrame) -> DataFrame:
+    """analytics_dag.py:191-208."""
+    return (
+        daily_sales
+        .groupBy(F.year("sales_date").alias("year"),
+                 F.month("sales_date").alias("month"))
+        .agg(F.sum("total_orders").alias("total_orders"),
+             F.sum("total_revenue").alias("total_revenue"),
+             F.sum("unique_customers").alias("customer_visits"))
+        .orderBy("year", "month")
+    )
+
+
+def build_customer_acquisition(dim_customers: DataFrame,
+                               fact_orders: DataFrame) -> DataFrame:
+    """analytics_dag.py:236-268: first-order CTE (A6) with the
+    first_order_value = MIN(total_amount) quirk (§7.4.5)."""
+    dim = _surrogate(dim_customers, "customer_id", "customer_key")
+    first_order = (
+        fact_orders.groupBy("customer_key")
+        .agg(F.min(F.to_date(F.col("order_date_key").cast("string"), "yyyyMMdd"))
+             .alias("first_order_date"),
+             F.min("total_amount").alias("first_order_value"))
+    )
+    days = F.datediff("first_order_date", "registration_date")
+    return (
+        dim.join(first_order, "customer_key", "left")
+        .select(
+            "customer_id", "registration_date", "first_order_date",
+            "first_order_value",
+            days.alias("days_to_first_purchase"),
+            F.when(F.col("first_order_date").isNull(), "Never Purchased")
+             .when(days <= 7, "First Week")
+             .when(days <= 30, "First Month")
+             .otherwise("After Month").alias("acquisition_bucket"),
+        )
+    )
+
+
+def build_campaign_attribution(daily_sales: DataFrame,
+                               campaigns_staged: DataFrame) -> DataFrame:
+    """analytics_dag.py:296-316 (J7 BETWEEN range join; campaign side
+    broadcast).  Soft-fails upstream per the reference (§7.4.5 — the
+    caller wraps in try/except)."""
+    joined = range_join(daily_sales, campaigns_staged.select(
+        "campaign_id", "campaign_name", "channel", "start_date", "end_date"),
+        "sales_date", "start_date", "end_date")
+    return (
+        joined.groupBy("campaign_id", "campaign_name", "channel",
+                       "start_date", "end_date")
+        .agg(F.count("sales_date").alias("days_with_sales"),
+             F.sum("total_revenue").alias("revenue_in_period"),
+             F.avg("total_revenue").alias("avg_daily_revenue"))
+    )
+
+
+def build_executive_summary(fact_orders: DataFrame,
+                            dim_customers: DataFrame) -> DataFrame:
+    """analytics_dag.py:339-352.  DOCUMENTED DEVIATION (§7.4.5): the
+    reference CROSS JOINs unaggregated tables (inflating sums); we
+    aggregate first — the stated intent."""
+    orders_agg = fact_orders.agg(
+        F.sum("total_amount").alias("total_revenue"),
+        F.countDistinct("order_id").alias("total_orders"),
+        F.avg("total_amount").alias("avg_order_value"))
+    cust_agg = (dim_customers.filter("is_current")
+                .agg(F.count(F.lit(1)).alias("total_customers")))
+    return orders_agg.crossJoin(cust_agg)
+
+
+# ---------------------------------------------------------------- driver
+
+
+def run_pipeline(spark: SparkSession, raw: dict[str, DataFrame],
+                 as_of: str = AS_OF_DATE,
+                 prior: dict[str, DataFrame] | None = None) -> dict[str, DataFrame]:
+    """staging → warehouse → analytics, mirroring the reference's DAG
+    ordering (SURVEY.md §3.2-3.3).  ``prior`` carries yesterday's dims/
+    facts for the incremental path (SCD2 + M2 upsert); None = initial
+    load.  Campaign attribution soft-fails like the reference."""
+    prior = prior or {}
+
+    staged = {
+        "customers": stage_customers(raw["customers"]),
+        "products": stage_products(raw["products"]),
+        "orders": stage_orders(raw["orders"]),
+        "order_items": raw["order_items"],
+        "inventory": raw["inventory"],
+        "marketing_campaigns": raw["marketing_campaigns"],
+        "clickstream": raw["clickstream"],
+    }
+    staging_quality(staged)
+
+    dim_customers = build_dim_customers(staged["customers"],
+                                        prior.get("dim_customers"), as_of)
+    dim_products = build_dim_products(staged["products"],
+                                      prior.get("dim_products"), as_of)
+    dim_time = build_dim_time(staged["orders"], prior.get("dim_time"))
+    fact_orders = build_fact_orders(staged["orders"], dim_customers,
+                                    prior.get("fact_orders"))
+    fact_order_items = build_fact_order_items(
+        staged["order_items"], fact_orders, dim_products,
+        prior.get("fact_order_items"))
+    warehouse_quality(fact_orders, dim_customers)
+
+    daily_sales = build_daily_sales(fact_orders)
+    out = {
+        "dim_customers": dim_customers,
+        "dim_products": dim_products,
+        "dim_time": dim_time,
+        "fact_orders": fact_orders,
+        "fact_order_items": fact_order_items,
+        "customer_metrics": build_customer_metrics(dim_customers, fact_orders, as_of),
+        "product_metrics": build_product_metrics(dim_products, fact_order_items,
+                                                 staged["inventory"]),
+        "daily_sales": daily_sales,
+        "monthly_trends": build_monthly_trends(daily_sales),
+        "customer_acquisition": build_customer_acquisition(dim_customers,
+                                                           fact_orders),
+        "executive_summary": build_executive_summary(fact_orders, dim_customers),
+    }
+    try:
+        out["campaign_attribution"] = build_campaign_attribution(
+            daily_sales, staged["marketing_campaigns"])
+    except Exception:
+        # analytics_dag.py:325-328: attribution is the one soft-fail task
+        out["campaign_attribution"] = None
+    return out

@@ -9,6 +9,8 @@ from . import facts        # noqa: F401  (fact builds, upserts)
 from . import analytics    # noqa: F401  (metric tables + views)
 from . import tpch         # noqa: F401  (bench / multi-join queries)
 from . import events       # noqa: F401  (event analytics)
+from . import windows      # noqa: F401  (moving frames, rollup, pivot, percentiles)
 from . import extensions   # noqa: F401  (dedup / similarity / text / multimodal)
+from . import pipeline_queries  # noqa: F401  (end-to-end e-commerce pipeline)
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,213 @@
+"""Window-function & multidimensional-aggregate coverage beyond the
+reference surface (the reference uses only W1 global rank and W2
+percent-of-total — SURVEY.md §2.6): moving frames, LAG deltas, NTILE,
+ROLLUP, pivot, exact percentiles, approximate distinct.
+
+All windows are date- or key-partitioned/ordered with unique ordering
+columns → deterministic, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.rounding import pround
+from ..sources import load
+from .registry import query
+
+_DAILY_CTE = """
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS sales_date,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_orderdate").cast("date").alias("sales_date"))
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                 .cast("double").alias("revenue")))
+
+
+@query(
+    "rolling_7day_revenue",
+    oracle=f"""
+    WITH {_DAILY_CTE}
+    SELECT sales_date,
+           floor(revenue * 100 + 0.5) / 100 AS revenue,
+           floor(CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER
+                 (ORDER BY sales_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) * 100 + 0.5) / 100 AS revenue_7d,
+           CAST(count(*) OVER
+                 (ORDER BY sales_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS INT) AS days_in_window
+    FROM daily
+    """,
+    covers=("EXT-window",),
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving frame (ROWS BETWEEN 6 PRECEDING): trailing-7-row revenue.
+
+    Scale note: a single unpartitioned ordered window — at 100 TB the
+    daily table is one row per day (≤ tens of thousands of rows after
+    its own distributed aggregation), so the window input is tiny by
+    construction; the heavy work happened in the groupBy below it.
+    Window sums use exact decimal (same policy as groupBy sums)."""
+    w = Window.orderBy("sales_date").rowsBetween(-6, 0)
+    return (_daily(spark, sf_dir)
+            .select(
+                "sales_date",
+                pround(F.col("revenue"), 2).alias("revenue"),
+                pround(F.sum(F.col("revenue").cast("decimal(18,2)")).over(w)
+                       .cast("double"), 2).alias("revenue_7d"),
+                F.count(F.lit(1)).over(w).cast("int").alias("days_in_window"),
+            ))
+
+
+@query(
+    "month_over_month_delta",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+             CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT y, m,
+           floor(revenue * 100 + 0.5) / 100 AS revenue,
+           floor(coalesce(revenue - lag(revenue) OVER (ORDER BY y, m), 0)
+                 * 100 + 0.5) / 100 AS mom_delta
+    FROM monthly
+    """,
+    covers=("EXT-window",),
+)
+def month_over_month_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG over month sequence → month-over-month revenue delta."""
+    o = load(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.year("o_orderdate").alias("y"),
+                         F.month("o_orderdate").alias("m"))
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                    .cast("double").alias("revenue")))
+    w = Window.orderBy("y", "m")
+    return monthly.select(
+        "y", "m",
+        pround(F.col("revenue"), 2).alias("revenue"),
+        pround(F.coalesce(F.col("revenue") - F.lag("revenue").over(w), F.lit(0)), 2)
+         .alias("mom_delta"),
+    )
+
+
+@query(
+    "customer_value_quartiles",
+    oracle="""
+    WITH spent AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey AS customer_id,
+           floor(total * 100 + 0.5) / 100 AS total_spent,
+           CAST(ntile(4) OVER (ORDER BY total DESC, o_custkey) AS INT) AS value_quartile
+    FROM spent
+    """,
+    covers=("EXT-window",),
+)
+def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) value segmentation (exact-decimal total → unambiguous
+    ordering; custkey tiebreak)."""
+    o = load(spark, sf_dir, "orders")
+    spent = (o.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .cast("double").alias("total")))
+    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
+    return spent.select(
+        F.col("o_custkey").alias("customer_id"),
+        pround(F.col("total"), 2).alias("total_spent"),
+        F.ntile(4).over(w).cast("int").alias("value_quartile"),
+    )
+
+
+@query(
+    "revenue_rollup",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS INT),
+                     CAST(EXTRACT(quarter FROM o_orderdate) AS INT))
+    """,
+    covers=("EXT-rollup",),
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, quarter) — subtotals + grand total in one pass
+    (Spark Expand operator; NULL markers match ANSI)."""
+    o = load(spark, sf_dir, "orders")
+    return (o.rollup(F.year("o_orderdate").alias("order_year"),
+                     F.quarter("o_orderdate").alias("order_quarter"))
+            .agg(pround(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                        .cast("double"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@query(
+    "event_type_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events GROUP BY 1
+    """,
+    covers=("EXT-pivot",),
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → columns (fixed value list → no extra pass;
+    ANSI-portable as conditional counts)."""
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy(F.col("ts").cast("date").alias("event_date"))
+            .pivot("event_type", ["click", "view", "purchase", "error"])
+            .count()
+            .na.fill(0, ["click", "view", "purchase", "error"]))
+
+
+@query(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderstatus AS order_status,
+           floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS median_value,
+           floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90_value,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    covers=("EXT-percentile",),
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per status (Spark percentile ≙
+    DuckDB quantile_cont: both sort and linearly interpolate)."""
+    o = load(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_orderstatus").alias("order_status"))
+            .agg(pround(F.percentile("o_totalprice", 0.5), 2).alias("median_value"),
+                 pround(F.percentile("o_totalprice", 0.9), 2).alias("p90_value"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@query(
+    "approx_distinct_users",
+    oracle=None,   # approximate by design → rows-only driver check
+    covers=("EXT-approx",),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type — the
+    scale-path alternative to exact countDistinct (A2): one pass, no
+    expand, bounded memory.  Approximate → no SQL oracle; the pytest
+    asserts the estimate is within rsd of exact."""
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+                 F.count(F.lit(1)).alias("n_events")))

@@ -1,0 +1,143 @@
+"""Golden end-to-end pipeline test (SURVEY.md §5.2.2): run the full
+staging→warehouse→analytics build on seeded synthetic data and assert
+the reference's structural invariants (§5.1.3 analogues — exact Faker
+values can't be reproduced, the invariants can)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_data_engineering_spark.pipeline import run_pipeline
+from ecommerce_data_engineering_spark.sources.synthetic import generate_ecommerce
+
+AS_OF = "2024-07-09"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    raw = generate_ecommerce(spark, scale=0.1)
+    out = run_pipeline(spark, raw, as_of=AS_OF)
+    for df in out.values():
+        if df is not None:
+            df.cache().count()
+    return out
+
+
+def test_dims_have_one_current_row_per_key(tables):
+    for dim, key in (("dim_customers", "customer_id"),
+                     ("dim_products", "product_id")):
+        bad = (tables[dim].filter("is_current").groupBy(key).count()
+               .filter("count <> 1").count())
+        assert bad == 0, dim
+
+
+def test_cleaning_applied(tables):
+    dc = tables["dim_customers"]
+    assert dc.filter(F.col("email") != F.lower(F.trim("email"))).count() == 0
+    assert dc.filter(F.col("customer_segment").isNull()).count() == 0
+    assert dc.filter(F.col("customer_segment") == "Unknown").count() > 0
+
+
+def test_fact_orders_economics(tables):
+    fo = tables["fact_orders"]
+    # profit = total − tax − shipping (warehouse_dag.py:223)
+    bad = fo.filter(
+        F.col("profit") != (F.col("total_amount") - F.col("tax_amount")
+                            - F.col("shipping_cost")).cast("decimal(12,2)")
+    ).count()
+    assert bad == 0
+    # total_items = 1 hardcode quirk (warehouse_dag.py:224)
+    assert fo.filter(F.col("total_items") != 1).count() == 0
+
+
+def test_referential_integrity(tables):
+    fo, fi = tables["fact_orders"], tables["fact_order_items"]
+    dc = tables["dim_customers"].filter("is_current")
+    assert fo.select("customer_key").distinct().count() <= dc.count()
+    orphans = (fi.join(fo.select("order_id").distinct(), "order_id", "left_anti")
+               .count())
+    assert orphans == 0
+
+
+def test_segments_partition_customers(tables):
+    cm = tables["customer_metrics"]
+    total = cm.count()
+    by_seg = cm.groupBy("customer_segment").count()
+    assert by_seg.agg(F.sum("count")).collect()[0][0] == total
+    segs = {r.customer_segment for r in by_seg.collect()}
+    assert segs <= {"Premium", "Regular", "Budget", "Unknown"}
+
+
+def test_clv_non_negative_and_consistent(tables):
+    cm = tables["customer_metrics"]
+    assert cm.filter(F.col("lifetime_value") < 0).count() == 0
+    # exec summary total revenue == sum of customer lifetime value
+    total_clv = cm.agg(F.sum("lifetime_value")).collect()[0][0]
+    exec_rev = tables["executive_summary"].collect()[0]["total_revenue"]
+    assert total_clv == exec_rev
+
+
+def test_churn_tiers_cover_all(tables):
+    vals = {r.churn_risk for r in
+            tables["customer_metrics"].select("churn_risk").distinct().collect()}
+    assert vals <= {"No Orders", "High", "Medium", "Low"}
+
+
+def test_daily_sales_totals_match_fact(tables):
+    ds, fo = tables["daily_sales"], tables["fact_orders"]
+    assert ds.agg(F.sum("total_orders")).collect()[0][0] == fo.count()
+    assert (ds.agg(F.sum("total_revenue")).collect()[0][0]
+            == fo.agg(F.sum("total_amount")).collect()[0][0])
+    assert ds.filter(F.col("new_customers") != 0).count() == 0   # quirk
+
+
+def test_product_metrics_turnover_guard(tables):
+    pm = tables["product_metrics"]
+    assert pm.filter((F.col("total_stock") == 0)
+                     & (F.col("stock_turnover") != 0)).count() == 0
+    assert pm.filter(F.col("stock_turnover") < 0).count() == 0
+
+
+def test_acquisition_buckets(tables):
+    ca = tables["customer_acquisition"]
+    vals = {r.acquisition_bucket for r in
+            ca.select("acquisition_bucket").distinct().collect()}
+    assert vals <= {"Never Purchased", "First Week", "First Month", "After Month"}
+    bad = ca.filter((F.col("acquisition_bucket") == "Never Purchased")
+                    & F.col("first_order_date").isNotNull()).count()
+    assert bad == 0
+
+
+def test_campaign_attribution_present(tables):
+    ca = tables["campaign_attribution"]
+    assert ca is not None and ca.count() > 0
+    assert ca.filter(F.col("days_with_sales") <= 0).count() == 0
+
+
+def test_dim_time_calendar_sanity(tables):
+    dt = tables["dim_time"]
+    assert dt.filter(~F.col("day_of_week").between(0, 6)).count() == 0
+    assert dt.filter(F.col("is_weekend") & ~F.col("day_of_week").isin(0, 6)).count() == 0
+    assert dt.groupBy("time_key").count().filter("count <> 1").count() == 0
+
+
+def test_incremental_scd2_run(spark, tables):
+    """Second pipeline run with mutated staging: SCD2 history grows only
+    for changed keys; M2 upsert keeps fact counts stable."""
+    raw2 = generate_ecommerce(spark, scale=0.1)
+    # mutate: every 7th customer switches city (tracked attribute)
+    raw2["customers"] = raw2["customers"].withColumn(
+        "city",
+        F.when(F.expr("substr(customer_id, 6) % 7 = 0"), F.lit("Bogra"))
+         .otherwise(F.col("city")))
+    out2 = run_pipeline(spark, raw2, as_of="2024-07-10", prior=tables)
+    dc2 = out2["dim_customers"]
+    assert (dc2.filter("is_current").groupBy("customer_id").count()
+            .filter("count <> 1").count()) == 0
+    moved = dc2.filter((F.col("city") == "Bogra") & F.col("is_current")).count()
+    assert moved > 0
+    closed = dc2.filter(~F.col("is_current")
+                        & (F.col("expiry_date") == "2024-07-09")).count()
+    assert closed == moved
+    assert out2["fact_orders"].count() == tables["fact_orders"].count()
