@@ -20,7 +20,15 @@ from .text import (
     word_count,
     punct_ratio,
 )
-from .multimodal import to_media_table, decode_media, frame_sample
+from .multimodal import (
+    to_media_table,
+    decode_media,
+    frame_sample,
+    resize_media,
+    extract_features,
+)
+from .asof import asof_join
+from .skew import null_safe_left_join, salted_join
 
 __all__ = [
     "scd2_merge", "keyed_upsert", "insert_if_absent",
@@ -32,4 +40,6 @@ __all__ = [
     "language_id", "quality_score", "token_counts", "fingerprints",
     "word_count", "punct_ratio",
     "to_media_table", "decode_media", "frame_sample",
+    "resize_media", "extract_features",
+    "asof_join", "null_safe_left_join", "salted_join",
 ]

@@ -1,0 +1,62 @@
+"""As-of (backward temporal) join — an operator Spark lacks natively.
+
+Semantics: for every left row, attach the latest right row whose time
+is ≤ the left row's time, within the same key partition (DuckDB/kdb
+"ASOF JOIN", pandas merge_asof direction='backward').
+
+Implementation is the **union + running-last** trick — pure DataFrame
+ops, one shuffle, no Python:
+
+    tag right rows 0 and left rows 1, union on (key, ts, tag),
+    running last_value(right payload, ignorenulls) ordered by
+    (ts, tag) per key, keep tag=1 rows.
+
+Why not ``applyInPandas`` + ``pd.merge_asof``?  That works (and is the
+fallback for exotic variants like nearest/tolerance) but forces every
+row through Arrow+Python; the union form stays in Tungsten and scales
+as an ordinary window — partitioned by the join key, so no global
+sort, and skew only where one key truly dominates.  The (ts, tag)
+ordering makes the match inclusive (right row at exactly left.ts
+matches — ``>=`` semantics) and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
+              value_cols: list[str] | None = None,
+              suffix: str = "_right") -> DataFrame:
+    """Backward as-of join of ``right`` onto ``left`` (left-outer: left
+    rows with no earlier right row keep NULLs).
+
+    on: ordering (time) column present in both; by: equi-key column;
+    value_cols: right columns to attach (default: all except key/time).
+    Right's own ``on`` value is attached as ``{on}{suffix}``.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, by)]
+    rtypes, ltypes = dict(right.dtypes), dict(left.dtypes)
+    out_names = [(c, f"{c}{suffix}" if c in left.columns else c)
+                 for c in value_cols]
+    attach = [a for _, a in out_names] + [f"{on}{suffix}"]
+
+    l_side = left.withColumn("__tag", F.lit(1))
+    for c, a in out_names:
+        l_side = l_side.withColumn(a, F.lit(None).cast(rtypes[c]))
+    l_side = l_side.withColumn(f"{on}{suffix}", F.lit(None).cast(rtypes[on]))
+
+    r_side = (right.select(by, on, *[F.col(c).alias(a) for c, a in out_names])
+              .withColumn(f"{on}{suffix}", F.col(on))
+              .withColumn("__tag", F.lit(0)))
+    for c in left.columns:
+        if c not in (by, on):
+            r_side = r_side.withColumn(c, F.lit(None).cast(ltypes[c]))
+
+    unioned = l_side.unionByName(r_side)
+    w = (Window.partitionBy(by).orderBy(F.col(on), F.col("__tag"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for a in attach:
+        unioned = unioned.withColumn(a, F.last(a, ignorenulls=True).over(w))
+    return unioned.filter(F.col("__tag") == 1).drop("__tag")

@@ -112,3 +112,54 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
                        F.lit(every_n_bytes))
         ).alias("frame_offset"),
     )
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_kind", T.StringType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def resize_media(media: DataFrame, max_bytes: int = 128) -> DataFrame:
+    """'Resize' stand-in: truncate the payload to ``max_bytes`` —
+    JVM-side binary slice, the same shape as a thumbnail/clip step
+    (payload-in, smaller-payload-out, metadata updated)."""
+    clipped = F.substring(F.col("payload"), 1, max_bytes)
+    return media.select(
+        "doc_id", "media_kind",
+        clipped.alias("payload"),
+        F.struct(
+            F.col("meta.source").alias("source"),
+            F.col("meta.lang").alias("lang"),
+            F.length(clipped).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, real_extract: bool = False) -> DataFrame:
+    """Feature extraction over binary payloads via Arrow-batched
+    mapInPandas — the embedding-model slot.  Stub: deterministic
+    FEATURE_DIM-dim vector from md5 of the bytes (so downstream
+    similarity plumbing is testable end-to-end without a model)."""
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_extract:
+                raise NotImplementedError(
+                    "real feature extraction needs a vision/audio model; "
+                    "the stub path exercises identical Spark plumbing")
+
+            def vec(b):
+                h = hashlib.md5(bytes(b or b"")).digest()
+                return [h[i] / 255.0 for i in range(FEATURE_DIM)]
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_kind": pdf["media_kind"],
+                "features": pdf["payload"].map(vec),
+            })
+
+    return media.mapInPandas(feat_batches, schema=FEATURES_SCHEMA)

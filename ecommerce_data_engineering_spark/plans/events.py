@@ -129,3 +129,77 @@ def event_type_daily_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_date")
     return daily.withColumn(
         "pct_of_day", pround(F.col("n") * 100.0 / F.sum("n").over(w), 2))
+
+
+@query(
+    "purchase_click_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ), clicks AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL
+    )
+    SELECT p.purchase_id, p.user_id,
+           p.ts AS purchase_ts,
+           c.click_id, c.ts AS click_ts,
+           CASE WHEN c.click_id IS NOT NULL
+                THEN epoch_us(p.ts) - epoch_us(c.ts) END AS micros_since_click
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    covers=("EXT-asof",),
+)
+def purchase_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase attributed to the
+    user's latest prior-or-simultaneous click — the union+running-last
+    formulation (one shuffle, no Python), oracle-checked against
+    DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"), "user_id", "ts"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    joined = asof_join(purchases, clicks, on="ts", by="user_id",
+                       value_cols=["click_id"])
+    return joined.select(
+        "purchase_id", "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_id",
+        F.col("ts_right").alias("click_ts"),
+        F.when(F.col("click_id").isNotNull(),
+               F.unix_micros("ts") - F.unix_micros("ts_right"))
+         .alias("micros_since_click"),
+    )
+
+
+@query(
+    "event_user_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    covers=("J3", "EXT-skew"),
+)
+def event_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events enriched with customer attributes via the null-safe left
+    join (operators/skew.null_safe_left_join): anonymous/NULL keys
+    bypass the shuffle instead of piling onto one reducer — the
+    clickstream skew remedy (SURVEY.md §7.4.8).  Fixture events have no
+    NULL users, so the bypass leg is empty here; the synthetic
+    clickstream test exercises it with 30% NULLs."""
+    from ..operators.skew import null_safe_left_join
+
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (null_safe_left_join(e, c, "user_id")
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))

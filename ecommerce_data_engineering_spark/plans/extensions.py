@@ -565,3 +565,44 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (M.frame_sample(M.to_media_table(docs), 64)
             .withColumn("frame_offset", F.col("frame_offset").cast("int")))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+      FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ), sims AS (
+      SELECT d.id_a, d.id_b,
+             floor(d.dot / (na.nrm * nb.nrm) * 1000000 + 0.5) / 1000000 AS cosine
+      FROM dots d
+      JOIN norms na ON d.id_a = na.vec_id
+      JOIN norms nb ON d.id_b = nb.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.4
+    """,
+    covers=("EXT-dedup", "EXT-similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force all-pairs —
+    the exact-recall form; the sign-LSH bucketing of embedding_ann_lsh
+    is the corpus×corpus scale path).  Threshold 0.4 chosen for the
+    fixture corpus, whose max off-diagonal cosine is ~0.51."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = S.with_norm(emb).select(F.col("vec_id").alias("id_a"),
+                                F.col("embedding").alias("va"),
+                                F.col("norm").alias("na"))
+    b = S.with_norm(emb).select(F.col("vec_id").alias("id_b"),
+                                F.col("embedding").alias("vb"),
+                                F.col("norm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", pround(dot / (F.col("na") * F.col("nb")), 6))
+            .filter(F.col("cosine") >= 0.4)
+            .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,83 @@
+"""Unit tests: as-of join semantics, skew operators, multimodal
+resize/feature stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_data_engineering_spark.operators import (
+    asof_join, extract_features, null_safe_left_join, resize_media,
+    salted_join, to_media_table)
+
+
+def test_asof_join_backward_inclusive(spark):
+    quotes = spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 20, 2.0), ("B", 5, 9.0)],
+        "sym string, ts long, px double")
+    trades = spark.createDataFrame(
+        [("A", 9, "t0"), ("A", 10, "t1"), ("A", 15, "t2"),
+         ("A", 25, "t3"), ("B", 4, "t4"), ("C", 99, "t5")],
+        "sym string, ts long, tid string")
+    out = {r.tid: (r.px, r.ts_right) for r in
+           asof_join(trades, quotes, on="ts", by="sym",
+                     value_cols=["px"]).collect()}
+    assert out["t0"] == (None, None)          # before any quote
+    assert out["t1"] == (1.0, 10)             # inclusive >= match
+    assert out["t2"] == (1.0, 10)
+    assert out["t3"] == (2.0, 20)             # latest prior
+    assert out["t4"] == (None, None)
+    assert out["t5"] == (None, None)          # key with no quotes
+
+
+def test_null_safe_left_join_equals_plain(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c"), (None, "d")],
+        "k long, v string")
+    right = spark.createDataFrame([(1, "X"), (3, "Y")], "k long, r string")
+    got = {(r.k, r.v, r.r) for r in null_safe_left_join(left, right, "k").collect()}
+    want = {(r.k, r.v, r.r) for r in left.join(right, "k", "left").collect()}
+    assert got == want
+    assert (None, "b", None) in got
+
+
+def test_salted_join_equals_plain_on_hot_key(spark):
+    # 90% of left rows share one hot key
+    left = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 5)
+         .alias("k"), F.col("id"))
+    right = spark.createDataFrame([(7, "hot"), (1, "cold"), (3, "mild")],
+                                  "k long, tag string")
+    got = salted_join(left, right, "k", n_salts=8)
+    want = left.join(right, "k")
+    assert got.count() == want.count()
+    assert (got.groupBy("tag").count().orderBy("tag").collect()
+            == want.groupBy("tag").count().orderBy("tag").collect())
+
+
+@pytest.fixture()
+def media(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 300, "en", "web", 300), (2, "short", "fr", "web", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    return to_media_table(docs)
+
+
+def test_resize_media_truncates(media):
+    rows = {r.doc_id: r for r in resize_media(media, 128).collect()}
+    assert rows[1].meta.n_bytes == 128 and len(rows[1].payload) == 128
+    assert rows[2].meta.n_bytes == 5
+
+
+def test_extract_features_deterministic(media):
+    a = {r.doc_id: tuple(r.features) for r in extract_features(media).collect()}
+    b = {r.doc_id: tuple(r.features) for r in extract_features(media).collect()}
+    assert a == b
+    assert len(a[1]) == 16 and all(0 <= x <= 1 for x in a[1])
+
+
+def test_extract_features_real_path_raises(media):
+    with pytest.raises(Exception) as ei:
+        extract_features(media, real_extract=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)

@@ -1,0 +1,62 @@
+"""Source/sink tests: declared-schema CSV (S1-S3), partitioned fact
+sink with partition pruning (S5), view sink (S6)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ecommerce_data_engineering_spark.sources import (
+    read_csv_declared, write_partitioned, write_view)
+
+
+def test_csv_declared_schema_roundtrip(spark):
+    """S1/S2: CSV read with declared StructType; malformed numeric cell
+    → NULL (PERMISSIVE ≙ pandas errors='coerce', staging_dag.py:102)."""
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "products.csv")
+        with open(path, "w") as f:
+            f.write("product_id,cost_price\n")
+            f.write("P1,10.50\n")
+            f.write("P2,notanumber\n")
+            f.write("P3,\n")
+        schema = T.StructType([
+            T.StructField("product_id", T.StringType()),
+            T.StructField("cost_price", T.DecimalType(10, 2)),
+        ])
+        df = read_csv_declared(spark, path, schema)
+        rows = {r.product_id: r.cost_price for r in df.collect()}
+        assert str(rows["P1"]) == "10.50"
+        assert rows["P2"] is None and rows["P3"] is None
+
+
+def test_partitioned_write_prunes(spark):
+    """S5: monthly-partitioned parquet; a date-key predicate scans only
+    the matching partition directories (partition pruning)."""
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.range(1000).select(
+            F.col("id").alias("order_id"),
+            (F.lit(20240100) + (F.col("id") % 12 + 1) * 100 + F.col("id") % 28 + 1)
+            .cast("int").alias("order_date_key"),
+            (F.col("id") * 1.5).alias("amount"),
+        )
+        out = os.path.join(d, "fact_orders")
+        write_partitioned(df, out)
+        months = [p for p in os.listdir(out) if p.startswith("order_month=")]
+        assert len(months) == 12
+
+        back = spark.read.parquet(out).filter(F.col("order_month") == 202403)
+        assert back.count() == df.filter(
+            (F.col("order_date_key") / 100).cast("int") == 202403).count()
+        # pruning proof: the scan's partition filters mention order_month
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "order_month" in plan
+
+
+def test_view_sink(spark):
+    df = spark.range(5).select(F.col("id").alias("k"))
+    write_view(df, "test_view_sink_v")
+    assert spark.sql("SELECT count(*) c FROM test_view_sink_v").collect()[0].c == 5

@@ -20,3 +20,29 @@ def test_stream_equals_batch(spark, sf_dir):
     s = {tuple(map(str, r)) for r in streamed.collect()}
     b = {tuple(map(str, r)) for r in batch.collect()}
     assert s == b
+
+
+@pytest.mark.timeout(300)
+def test_stateful_running_totals(spark, sf_dir):
+    """applyInPandasWithState running totals must equal the batch
+    aggregate after the whole fixture streams through."""
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.sources import load
+    from ecommerce_data_engineering_spark.streaming.stateful import (
+        stream_running_totals)
+
+    out = stream_running_totals(spark, sf_dir)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("running_totals_test").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # take the final state per key (last update wins)
+    got = {r.event_type: (r.running_events, r.running_value) for r in
+           spark.sql("SELECT * FROM running_totals_test").collect()}
+    want = {r.event_type: (r.n, round(r.v, 2)) for r in
+            load(spark, sf_dir, "events").groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+            .collect()}
+    assert set(got) == set(want)
+    for et, (n, v) in want.items():
+        assert got[et][0] == n
+        assert abs(got[et][1] - v) < 0.05
