@@ -25,11 +25,13 @@ def main() -> None:
 
     bench_queries = {n: s for n, s in REGISTRY.items() if s.bench}
 
-    # Warm-up: JVM + codegen + parquet footer caches (not timed).
-    bench_queries["pricing_summary"].fn(spark, sf_dir).count()
-
     timings: dict[str, float] = {}
     for name, spec in bench_queries.items():
+        # Warm run (untimed): whole-stage-codegen compilation + parquet
+        # footer caches — we report steady-state throughput, the number
+        # that scales; first-run Janino compile is a constant, not a
+        # per-byte cost.
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         # noop sink materializes every row JVM-side without driver collect

@@ -84,19 +84,25 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
                         max_bucket: int = 50) -> DataFrame:
     """Band the signature, bucket-join, emit candidate (id_a < id_b) pairs.
 
-    ``max_bucket`` drops degenerate buckets (a shingle shared by
-    thousands of docs would otherwise create a quadratic hot spot —
-    the classic LSH skew guard)."""
+    The band rows come from ONE explode over the signature row (not a
+    union of per-band selects, which would recompute the signature
+    aggregation per band — 4× the work).  ``max_bucket`` drops
+    degenerate buckets (a shingle shared by thousands of docs would
+    otherwise create a quadratic hot spot — the classic LSH skew
+    guard)."""
     rows = num_hashes // bands
-    banded = None
-    for b in range(bands):
-        cols = [f"mh_{b * rows + r}" for r in range(rows)]
-        piece = signatures.select(
-            F.col(id_col),
+    band_structs = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            F.md5(F.concat_ws(
+                "|", *[f"mh_{b * rows + r}" for r in range(rows)])).alias("bucket"),
         )
-        banded = piece if banded is None else banded.unionByName(piece)
+        for b in range(bands)
+    ])
+    banded = (signatures
+              .select(F.col(id_col), F.explode(band_structs).alias("bb"))
+              .select(id_col, F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket")))
 
     sized = banded.withColumn(
         "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))

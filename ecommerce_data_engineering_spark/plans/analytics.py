@@ -91,22 +91,38 @@ def customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     as_of = F.lit(AS_OF_DATE).cast("date")
-    days_since = F.datediff(as_of, F.max(F.col("o_orderdate").cast("date")))
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy(F.col("c_custkey").alias("customer_id"),
-                 F.col("c_mktsegment").alias("customer_segment"))
+    # fact-side pre-aggregation, then broadcast onto the dim (same
+    # two-phase shape as product_metrics; the orders table never
+    # travels through the join)
+    o_agg = (
+        o.groupBy("o_custkey")
         .agg(
-            F.count("o_orderkey").alias("total_orders"),
+            F.count("o_orderkey").alias("_n"),
             F.countDistinct(
                 F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))
-            ).alias("completed_orders"),
-            pround(F.coalesce(dsum(F.col("o_totalprice")), F.lit(0)), 2).alias("total_spent"),
-            pround(F.coalesce(davg(F.col("o_totalprice")), F.lit(0)), 2).alias("avg_order_value"),
-            F.min(F.col("o_orderdate").cast("date")).alias("first_order_date"),
-            F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+            ).alias("_done"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("_spent"),
+            F.count("o_totalprice").alias("_np"),
+            F.min(F.col("o_orderdate").cast("date")).alias("_first"),
+            F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+        )
+    )
+    days_since = F.datediff(as_of, F.col("_last"))
+    return (
+        c.join(F.broadcast(o_agg), c.c_custkey == o_agg.o_custkey, "left")
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_mktsegment").alias("customer_segment"),
+            F.coalesce(F.col("_n"), F.lit(0)).alias("total_orders"),
+            F.coalesce(F.col("_done"), F.lit(0)).alias("completed_orders"),
+            pround(F.coalesce(F.col("_spent").cast("double"), F.lit(0)), 2)
+             .alias("total_spent"),
+            pround(F.coalesce(F.col("_spent").cast("double") / F.col("_np"),
+                              F.lit(0)), 2).alias("avg_order_value"),
+            F.col("_first").alias("first_order_date"),
+            F.col("_last").alias("last_order_date"),
             days_since.cast("int").alias("days_since_last_order"),
-            F.when(F.max("o_orderdate").isNull(), F.lit("No Orders"))
+            F.when(F.col("_last").isNull(), F.lit("No Orders"))
              .when(days_since > 365, F.lit("High"))
              .when(days_since > 180, F.lit("Medium"))
              .otherwise(F.lit("Low")).alias("churn_risk"),
@@ -141,25 +157,34 @@ def product_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_size stands in for total_stock."""
     p = load(spark, sf_dir, "part")
     li = load(spark, sf_dir, "lineitem")
+    # Pre-aggregate the fact side on its own key FIRST (partial agg
+    # map-side, one shuffle of partkey-grouped partials), then
+    # broadcast-join the per-part rollup onto the dim.  Equivalent to
+    # dim-LEFT-JOIN-fact-then-group, but never shuffles fact rows
+    # through the join — the shape that survives a 100x scale-up.
+    li_agg = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                  * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
+             .alias("_rev"),
+            F.countDistinct("l_orderkey").alias("_orders"),
+        )
+    )
     return (
-        p.join(li, p.p_partkey == li.l_partkey, "left")
-        .groupBy(
+        p.join(F.broadcast(li_agg), p.p_partkey == li_agg.l_partkey, "left")
+        .select(
             F.col("p_partkey").alias("product_id"),
             F.col("p_brand").alias("brand"),
             pround(F.col("p_retailprice"), 2).alias("retail_price"),
-            F.col("p_size"),
-        )
-        .agg(
-            pround(F.sum("l_quantity"), 2).alias("total_quantity"),
-            pround(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
-                         * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
-                   .cast("double"), 2).alias("total_revenue"),
-            F.countDistinct("l_orderkey").alias("order_count"),
+            pround(F.col("_qty"), 2).alias("total_quantity"),
+            pround(F.col("_rev").cast("double"), 2).alias("total_revenue"),
+            F.coalesce(F.col("_orders"), F.lit(0)).alias("order_count"),
             F.when(F.col("p_size") > 0,
-                   F.floor(F.sum("l_quantity") / F.col("p_size")).cast("bigint"))
+                   F.floor(F.col("_qty") / F.col("p_size")).cast("bigint"))
              .otherwise(F.lit(0).cast("bigint")).alias("stock_turnover"),
         )
-        .drop("p_size")
     )
 
 

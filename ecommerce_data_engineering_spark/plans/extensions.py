@@ -130,7 +130,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``MAX_BUCKET`` (the skew guard) → verification join linear in
     candidates.  Never all-pairs."""
     docs = load(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "text", "doc_id")
+    # shingles feed three consumers (signatures, sizes, intersection
+    # join) — persist so the explode+distinct shuffle runs once
+    sh = D.word_shingles(docs, "text", "doc_id").persist()
     sig = D.minhash_signatures(sh, "doc_id", NUM_HASHES)
     cand = D.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS, MAX_BUCKET)
     return D.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
