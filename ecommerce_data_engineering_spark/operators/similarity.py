@@ -116,3 +116,27 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (sim.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= k))
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    ``centroids`` is a tiny (cluster_id, centroid vector) table —
+    broadcast, crossed, argmin by L2 distance with cluster_id tiebreak.
+    One pass over the corpus, cost |corpus|·K·d.
+    """
+    from pyspark.sql import Window
+
+    c = centroids.select(F.col("cluster_id"), F.col(vec_col).alias("c_vec"))
+    dist = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("c_vec"),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy(id_col).orderBy(F.round(dist, 9).asc(),
+                                           F.col("cluster_id").asc())
+    return (df.crossJoin(F.broadcast(c))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("c_vec", "__rn"))

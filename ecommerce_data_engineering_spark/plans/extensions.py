@@ -608,3 +608,88 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cosine", pround(dot / (F.col("na") * F.col("nb")), 6))
             .filter(F.col("cosine") >= 0.4)
             .select("id_a", "id_b", "cosine"))
+
+
+IVF_K = 16        # centroid count: every (500/16≈31st) vector seeds a cell
+IVF_SEED_STEP = 31
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH {_VEC_CTE},
+    cent AS (
+      SELECT CAST(vec_id / {IVF_SEED_STEP} AS INT) AS cluster_id, i, x
+      FROM v WHERE vec_id % {IVF_SEED_STEP} = 0 AND vec_id < {IVF_K * IVF_SEED_STEP}
+    ), dist AS (
+      SELECT v.vec_id, c.cluster_id,
+             floor(sum((v.x - c.x) * (v.x - c.x)) * 1000000000 + 0.5) / 1000000000 AS d2
+      FROM v JOIN cent c ON v.i = c.i
+      GROUP BY 1, 2
+    ), assigned AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    qa AS (SELECT * FROM assigned WHERE vec_id < {ANN_QUERY_LIMIT}),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qa q JOIN assigned c
+        ON q.cluster_id = c.cluster_id AND q.vec_id <> c.vec_id
+    ), dots AS (
+      SELECT cand.query_id, cand.neighbor_id, sum(a.x * b.x) AS dot
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2
+    ), sims AS (
+      SELECT d.query_id, d.neighbor_id,
+             floor(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.5) / 1000000 AS cosine
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nc ON d.neighbor_id = nc.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {ANN_K}
+    """
+
+
+@query("embedding_ann_ivf", oracle=_ivf_oracle(), covers=("EXT-similarity",))
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantization to K=16 deterministic seed
+    centroids (every 31st vector — a k-means iteration would refine
+    them; seeds keep the oracle exact), then exact cosine only within
+    the query's cell (nprobe=1).  Cost drops from |Q|·|C| to
+    |Q|·|C|/K on balanced cells — the IVF scale path next to the
+    sign-LSH variant."""
+    from ..operators.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = (emb.filter((F.col("vec_id") % IVF_SEED_STEP == 0)
+                            & (F.col("vec_id") < IVF_K * IVF_SEED_STEP))
+                 .select((F.col("vec_id") / IVF_SEED_STEP).cast("int")
+                         .alias("cluster_id"), "embedding"))
+    assigned = ivf_assign(S.with_norm(emb), centroids)
+    q = (assigned.filter(F.col("vec_id") < ANN_QUERY_LIMIT)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_vec"),
+                 F.col("norm").alias("q_norm"), "cluster_id"))
+    c = assigned.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("c_vec"),
+                        F.col("norm").alias("c_norm"), "cluster_id")
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    sims = (q.join(c, "cluster_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine", pround(dot / (F.col("q_norm") * F.col("c_norm")), 6))
+            .select("query_id", "neighbor_id", "cosine"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (sims.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= ANN_K))

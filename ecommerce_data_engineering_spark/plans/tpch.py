@@ -229,3 +229,72 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(pround(F.sum(promo).cast("double") * 100.0 /
                     F.sum(rev).cast("double"), 4).alias("promo_share"))
     )
+
+
+@query(
+    "nation_market_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+             n.n_name AS nation,
+             {_DEC_EP} * {_DEC_DISC} AS volume
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT order_year,
+           floor(CAST(sum(CASE WHEN nation = 'CHINA' THEN volume END) AS DOUBLE)
+                 * 100.0 / CAST(sum(volume) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS china_share_pct
+    FROM rev GROUP BY order_year
+    """,
+    covers=("A3", "J2", "P15"),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of global revenue per year —
+    conditional aggregate over a 4-way join, all dims broadcast."""
+    li, orders, customer, nation = (
+        load(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation"))
+    vol = _dec_ep() * _dec_disc()
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+              .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey))
+    return (joined.groupBy(F.year("o_orderdate").alias("order_year"))
+            .agg(pround(
+                F.sum(F.when(F.col("n_name") == "CHINA", vol)).cast("double")
+                * 100.0 / F.sum(vol).cast("double"), 4)
+                .alias("china_share_pct")))
+
+
+@query(
+    "customer_order_histogram",
+    oracle="""
+    WITH per_customer AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_customer GROUP BY n_orders
+    """,
+    covers=("J3", "A1"),
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: double aggregation — orders-per-customer with a
+    join-side filter (non-urgent only), then the distribution of that
+    count.  The join predicate must stay in the JOIN (not WHERE): a
+    WHERE would drop order-less customers from the left join."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_customer = (
+        customer.join(F.broadcast(
+            orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))),
+            customer.c_custkey == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"))
+    )
+    return per_customer.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers"))
