@@ -189,6 +189,48 @@ def build_fact_order_items(items_staged: DataFrame, fact_orders: DataFrame,
     return fact if prior is None else keyed_upsert(prior, fact, "order_item_id")
 
 
+def build_fact_clickstream(click_staged: DataFrame,
+                           dim_customers: DataFrame,
+                           dim_products: DataFrame) -> DataFrame:
+    """warehouse_dag.py:382-426: clickstream events resolve surrogate
+    keys but KEEP anonymous rows (left joins, J3).  30% NULL
+    customer_id is the skew driver (§7.4.8) — the null-safe join keeps
+    NULL keys out of the shuffle entirely."""
+    from .operators.skew import null_safe_left_join
+
+    dimc = _surrogate(dim_customers, "customer_id", "customer_key") \
+        .select("customer_id", "customer_key")
+    dimp = _surrogate(dim_products, "product_id", "product_key") \
+        .select("product_id", "product_key")
+    fact = null_safe_left_join(click_staged, dimc, "customer_id")
+    fact = null_safe_left_join(fact, dimp, "product_id")
+    return fact.select(
+        "event_id", "session_id", "customer_key", "product_key",
+        "event_type", "device_type",
+        date_key(F.col("timestamp")).alias("event_date_key"),
+        "timestamp", "duration_seconds",
+    )
+
+
+def build_fact_inventory(inventory_staged: DataFrame,
+                         dim_products: DataFrame) -> DataFrame:
+    """warehouse_dag.py:296-340: full-refresh inventory fact (M3)."""
+    dimp = _surrogate(dim_products, "product_id", "product_key") \
+        .select("product_id", "product_key")
+    return (inventory_staged.join(F.broadcast(dimp), "product_id")
+            .select("inventory_id", "product_key", "warehouse_location",
+                    "current_stock", "reserved_stock",
+                    (F.col("current_stock") - F.col("reserved_stock"))
+                    .alias("available_stock")))
+
+
+def build_dim_campaigns(campaigns_staged: DataFrame) -> DataFrame:
+    """warehouse_dag.py:344-378: campaign dim with duration (M3)."""
+    return campaigns_staged.withColumn(
+        "duration_days",
+        F.datediff("end_date", "start_date") + F.lit(1))
+
+
 def warehouse_quality(fact_orders: DataFrame,
                       dim_customers: DataFrame) -> list[Q.CheckResult]:
     """warehouse_dag.py:462-488: current-row count + orphan FK check."""
@@ -338,6 +380,52 @@ def build_campaign_attribution(daily_sales: DataFrame,
     )
 
 
+def build_top_products(product_metrics: DataFrame) -> DataFrame:
+    """top_products view (analytics_dag.py:357-370) — distributed
+    top-20 with rank over survivors (no global window)."""
+    from .operators.topk import distributed_topk
+
+    return distributed_topk(
+        product_metrics.select("product_id", "product_name", "category",
+                               "total_revenue", "units_sold", "order_count"),
+        [F.desc("total_revenue"), F.asc("product_id")], 20,
+        rank_on=F.desc("total_revenue"), rank_name="revenue_rank")
+
+
+def build_customer_segmentation(customer_metrics: DataFrame) -> DataFrame:
+    """customer_segmentation view (analytics_dag.py:376-384)."""
+    seg = (customer_metrics.groupBy("customer_segment")
+           .agg(F.count(F.lit(1)).alias("customer_count"),
+                F.sum("lifetime_value").alias("total_lifetime_value"),
+                F.avg("lifetime_value").alias("avg_lifetime_value")))
+    total = Window.partitionBy()
+    return seg.withColumn(
+        "pct_of_customers",
+        F.round(F.col("customer_count") * 100.0 /
+                F.sum("customer_count").over(total), 2))
+
+
+def build_seasonal_performance(daily_sales: DataFrame) -> DataFrame:
+    """seasonal_performance view (analytics_dag.py:388-398)."""
+    return (daily_sales
+            .groupBy(F.quarter("sales_date").alias("quarter"))
+            .agg(F.sum("total_orders").alias("total_orders"),
+                 F.sum("total_revenue").alias("total_revenue"),
+                 F.avg("avg_order_value").alias("avg_order_value")))
+
+
+def build_acquisition_summary(customer_acquisition: DataFrame) -> DataFrame:
+    """acquisition_summary view (analytics_dag.py:403-419): W2 over the
+    bucket aggregate."""
+    by_bucket = (customer_acquisition.groupBy("acquisition_bucket")
+                 .agg(F.count(F.lit(1)).alias("customer_count"),
+                      F.avg("days_to_first_purchase").alias("avg_days_to_purchase")))
+    return by_bucket.withColumn(
+        "pct_of_customers",
+        F.round(F.col("customer_count") * 100.0 /
+                F.sum("customer_count").over(Window.partitionBy()), 2))
+
+
 def build_executive_summary(fact_orders: DataFrame,
                             dim_customers: DataFrame) -> DataFrame:
     """analytics_dag.py:339-352.  DOCUMENTED DEVIATION (§7.4.5): the
@@ -388,20 +476,30 @@ def run_pipeline(spark: SparkSession, raw: dict[str, DataFrame],
     warehouse_quality(fact_orders, dim_customers)
 
     daily_sales = build_daily_sales(fact_orders)
+    customer_metrics = build_customer_metrics(dim_customers, fact_orders, as_of)
+    product_metrics = build_product_metrics(dim_products, fact_order_items,
+                                            staged["inventory"])
+    customer_acquisition = build_customer_acquisition(dim_customers, fact_orders)
     out = {
         "dim_customers": dim_customers,
         "dim_products": dim_products,
         "dim_time": dim_time,
+        "dim_campaigns": build_dim_campaigns(staged["marketing_campaigns"]),
         "fact_orders": fact_orders,
         "fact_order_items": fact_order_items,
-        "customer_metrics": build_customer_metrics(dim_customers, fact_orders, as_of),
-        "product_metrics": build_product_metrics(dim_products, fact_order_items,
-                                                 staged["inventory"]),
+        "fact_clickstream": build_fact_clickstream(staged["clickstream"],
+                                                   dim_customers, dim_products),
+        "fact_inventory": build_fact_inventory(staged["inventory"], dim_products),
+        "customer_metrics": customer_metrics,
+        "product_metrics": product_metrics,
         "daily_sales": daily_sales,
         "monthly_trends": build_monthly_trends(daily_sales),
-        "customer_acquisition": build_customer_acquisition(dim_customers,
-                                                           fact_orders),
+        "customer_acquisition": customer_acquisition,
         "executive_summary": build_executive_summary(fact_orders, dim_customers),
+        "top_products": build_top_products(product_metrics),
+        "customer_segmentation": build_customer_segmentation(customer_metrics),
+        "seasonal_performance": build_seasonal_performance(daily_sales),
+        "acquisition_summary": build_acquisition_summary(customer_acquisition),
     }
     try:
         out["campaign_attribution"] = build_campaign_attribution(

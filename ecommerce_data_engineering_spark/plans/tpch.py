@@ -298,3 +298,31 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_customer.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "sql_api_revenue_by_status",
+    oracle="""
+    SELECT o_orderstatus AS order_status,
+           count(*) AS n_orders,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS total_revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    covers=("S6", "A1"),
+)
+def sql_api_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry point (SURVEY.md §3.4): register the scan as
+    a temp view, express the query as SQL text — Catalyst produces the
+    same plan as the DataFrame API.  Demonstrates the engine's second
+    query surface."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sql_api_orders")
+    return spark.sql("""
+        SELECT o_orderstatus AS order_status,
+               count(*) AS n_orders,
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     * 100 + 0.5) / 100 AS total_revenue
+        FROM sql_api_orders
+        GROUP BY o_orderstatus
+    """)

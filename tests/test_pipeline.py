@@ -169,3 +169,28 @@ def test_pipeline_from_csv_files(spark, tmp_path):
     bad = (out["dim_customers"].filter("is_current")
            .groupBy("customer_id").count().filter("count <> 1").count())
     assert bad == 0
+
+
+def test_full_warehouse_inventory(tables, spark):
+    """All 8 warehouse tables + 6 metric tables + 5 views exist
+    (reference data model, SURVEY.md §1.1)."""
+    raw = generate_ecommerce(spark, scale=0.05)
+    out = run_pipeline(spark, raw, as_of=AS_OF)
+    expected = {"dim_customers", "dim_products", "dim_time", "dim_campaigns",
+                "fact_orders", "fact_order_items", "fact_clickstream",
+                "fact_inventory", "customer_metrics", "product_metrics",
+                "daily_sales", "monthly_trends", "customer_acquisition",
+                "campaign_attribution", "executive_summary", "top_products",
+                "customer_segmentation", "seasonal_performance",
+                "acquisition_summary"}
+    assert expected <= set(out)
+    # anonymous clickstream rows survive with NULL surrogate keys (J3)
+    fc = out["fact_clickstream"]
+    assert fc.count() == raw["clickstream"].count()
+    assert fc.filter(F.col("customer_key").isNull()).count() > 0
+    # inventory fact resolves every product
+    assert out["fact_inventory"].filter(F.col("product_key").isNull()).count() == 0
+    # views
+    assert out["top_products"].count() <= 20
+    assert abs(sum(r.pct_of_customers for r in
+                   out["customer_segmentation"].collect()) - 100.0) < 0.5
