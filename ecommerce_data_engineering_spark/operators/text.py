@@ -116,3 +116,40 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
                   F.md5(F.col("t")).alias("content_md5"),
                   F.array_min(grams).alias("winnow_fp"),
               ))
+
+
+def quality_score_pandas_udf():
+    """Arrow-vectorized pandas_udf twin of ``quality_score`` — the UDF
+    registration surface (SURVEY.md §2.11).  The engine needs no UDFs
+    for parity (everything above is codegen'd Catalyst); this exists to
+    prove the extension point and is tested bit-equal to the built-in
+    expression path on ASCII inputs.
+    """
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    word_re = re.compile(r"[^a-z0-9]+")
+    punct_re = re.compile(r"[^.!?,;:]")
+
+    def _score(texts):
+        import math
+
+        def one(t):
+            t = t or ""
+            words = [w for w in word_re.split(t.lower()) if w]
+            n = len(words)
+            punct = len(punct_re.sub("", t)) / max(len(t), 1)
+            punct = math.floor(punct * 10000 + 0.5) / 10000
+            length_score = min(n / 100.0, 1.0)
+            diversity = len(set(words)) / max(n, 1)
+            punct_sane = 1.0 - min(punct * 10, 1.0)
+            v = (length_score + diversity + punct_sane) / 3.0
+            return math.floor(v * 10000 + 0.5) / 10000
+
+        return texts.map(one)
+
+    # positional form: postponed annotations (module-level
+    # `from __future__ import annotations`) break hint inference
+    return pandas_udf(_score, "double")

@@ -203,3 +203,24 @@ def event_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("c_mktsegment").alias("segment"))
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_id, event_type,
+           TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+    FROM events
+    """,
+    covers=("P3", "EXT-json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction: from_json with a declared schema (the
+    Spark-native way to open semi-structured columns — schema'd, 
+    codegen'd, null-safe).  The oracle reproduces the value via regexp
+    so the check stays engine-portable."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id", "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )

@@ -326,3 +326,91 @@ def sql_api_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sql_api_orders
         GROUP BY o_orderstatus
     """)
+
+
+@query(
+    "important_part_stock",
+    oracle="""
+    SELECT l_partkey AS part_key,
+           floor(sum(l_quantity) * 100 + 0.5) / 100 AS total_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_quantity) > (
+      SELECT sum(l_quantity) * 0.001 FROM lineitem)
+    """,
+    covers=("A1", "F2"),
+)
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global-scalar subquery —
+    groups kept only above a fraction of the global total.  The scalar
+    aggregates once and broadcasts as a literal-ish 1-row cross join."""
+    li = load(spark, sf_dir, "lineitem")
+    threshold = li.agg((F.sum("l_quantity") * 0.001).alias("__t"))
+    return (li.groupBy(F.col("l_partkey").alias("part_key"))
+            .agg(F.sum("l_quantity").alias("__q"))
+            .crossJoin(F.broadcast(threshold))
+            .filter(F.col("__q") > F.col("__t"))
+            .select("part_key", pround(F.col("__q"), 2).alias("total_qty")))
+
+
+@query(
+    "small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+    FROM lineitem l JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    """,
+    covers=("A6", "J9", "F2"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate self-join — the standard Catalyst
+    rewrite, expressed explicitly so the plan is one agg + one join."""
+    li = load(spark, sf_dir, "lineitem")
+    part_avg = (li.groupBy("l_partkey")
+                .agg((F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")))
+    return (li.join(F.broadcast(part_avg), "l_partkey")
+            .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+            .agg(pround(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                        .cast("double") / 7.0, 2).alias("avg_yearly")))
+
+
+@query(
+    "customer_set_ops",
+    oracle="""
+    WITH building AS (
+      SELECT DISTINCT o_custkey FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    ), urgent AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT 'both' AS cohort, count(*) AS n FROM
+      (SELECT o_custkey FROM building INTERSECT SELECT o_custkey FROM urgent)
+    UNION ALL
+    SELECT 'building_only', count(*) FROM
+      (SELECT o_custkey FROM building EXCEPT SELECT o_custkey FROM urgent)
+    """,
+    covers=("M5",),
+)
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (beyond the reference's
+    surface): cohort overlap counts."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    building = (orders.join(
+        F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+        orders.o_custkey == customer.c_custkey)
+        .select("o_custkey").distinct())
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    both = building.intersect(urgent).agg(F.count(F.lit(1)).alias("n")) \
+        .withColumn("cohort", F.lit("both"))
+    only = building.exceptAll(urgent).agg(F.count(F.lit(1)).alias("n")) \
+        .withColumn("cohort", F.lit("building_only"))
+    return both.unionByName(only).select("cohort", "n")

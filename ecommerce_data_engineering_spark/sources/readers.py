@@ -36,6 +36,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     the driver contract does exactly that."""
     from pyspark.sql import functions as F
 
+    # deterministic date extraction regardless of host TZ (the DuckDB
+    # oracle is UTC-naive); runtime-settable, so externally-built
+    # sessions get it too
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
         # runtime-settable; required to scan TIMESTAMP(NANOS) parquet
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

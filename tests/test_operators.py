@@ -84,3 +84,21 @@ def test_frame_sample_offsets(docs):
     out = frame_sample(media, every_n_bytes=8)
     offs = sorted(r.frame_offset for r in out.filter("doc_id = 1").collect())
     assert offs == [0, 8, 16]
+
+
+def test_pandas_udf_quality_score_matches_builtin(spark, sf_dir):
+    """The Arrow pandas_udf twin must equal the Catalyst expression
+    path — proving the UDF extension point without paying for it in
+    the engine proper."""
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.operators.text import (
+        quality_score, quality_score_pandas_udf)
+    from ecommerce_data_engineering_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    udf = quality_score_pandas_udf()
+    out = docs.select(
+        quality_score(F.col("text")).alias("builtin"),
+        udf(F.col("text")).alias("udf"),
+    )
+    assert out.filter(F.abs(F.col("builtin") - F.col("udf")) > 1e-9).count() == 0
