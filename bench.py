@@ -37,6 +37,9 @@ def main() -> None:
         # noop sink materializes every row JVM-side without driver collect
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries may persist intermediates (e.g. LSH shingles); drop
+        # them so later queries aren't measured under cache pressure
+        spark.catalog.clearCache()
 
     print(json.dumps({
         "metric": "headline_queries_total_runtime",

@@ -27,3 +27,13 @@ AS_OF_DATE = "2002-01-01"
 CURRENT_DATE (SCD2 expiry, churn-risk day counts — SURVEY.md §7.4.1).
 The fixture order dates span 1995-01-01..2001-08-01, so this is "today"
 one step after the data ends; injectable for reproducible oracles."""
+
+
+def engine_exports():
+    """Convenience imports for the public API (lazy to keep import
+    light): session factory, pipeline, generator, query registry."""
+    from .session import get_spark
+    from .pipeline import run_pipeline
+    from .sources.synthetic import generate_ecommerce
+    from .plans import REGISTRY
+    return get_spark, run_pipeline, generate_ecommerce, REGISTRY

@@ -412,6 +412,7 @@ def campaign_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "campaign_attribution_scalable",
     oracle=_ATTRIBUTION_SQL,
     covers=("J7",),
+    bench=True,
 )
 def campaign_attribution_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as campaign_attribution, scale path: explode each
@@ -455,10 +456,11 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic."""
     p = load(spark, sf_dir, "part")
     li = load(spark, sf_dir, "lineitem")
-    rev = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.col("p_partkey").alias("product_id"),
-                 F.col("p_name").alias("product_name"))
+    # fact-side pre-aggregation (one shuffle on l_partkey), then the
+    # 20k-row rollup broadcast-joins the part names — the fact rows
+    # never travel through the join (same shape as product_metrics)
+    li_agg = (
+        li.groupBy("l_partkey")
         .agg(
             pround(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
                          * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
@@ -466,6 +468,12 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("l_quantity"), 2).alias("total_quantity"),
             F.countDistinct("l_orderkey").alias("order_count"),
         )
+    )
+    rev = (
+        F.broadcast(li_agg).join(p, li_agg.l_partkey == p.p_partkey)
+        .select(F.col("p_partkey").alias("product_id"),
+                F.col("p_name").alias("product_name"),
+                "total_revenue", "total_quantity", "order_count")
     )
     return distributed_topk(
         rev, [F.desc("total_revenue"), F.asc("product_id")], 20,

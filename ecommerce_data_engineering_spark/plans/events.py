@@ -73,6 +73,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, CAST(session_seq AS INT)
     """,
     covers=("W1",),
+    bench=True,
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap via lag + cumulative
@@ -223,4 +224,50 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "event_type",
         F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+
+
+@query(
+    "events_session_window_native",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100
+             AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    covers=("EXT-session",),
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window(ts, '30 minutes') in batch mode —
+    must produce exactly the sessions the classic lag+cumsum SQL
+    builds (the oracle): same session starts, counts, and value sums.
+    In streaming the same expression runs stateful with watermark
+    eviction."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            pround(dsum(F.col("value")), 2).alias("session_value"),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
     )

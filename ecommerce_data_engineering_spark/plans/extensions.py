@@ -342,7 +342,8 @@ def _ann_lsh_oracle() -> str:
     """
 
 
-@query("embedding_ann_lsh", oracle=_ann_lsh_oracle(), covers=("EXT-similarity",))
+@query("embedding_ann_lsh", oracle=_ann_lsh_oracle(), covers=("EXT-similarity",),
+       bench=True)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane sign-LSH: md5-derived ±1
     planes (shared with the oracle), bucket on the 6-bit signature,

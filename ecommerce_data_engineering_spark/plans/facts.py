@@ -95,6 +95,7 @@ def fact_orders_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     """,
     covers=("J2", "P12", "P13"),
+    bench=True,
 )
 def fact_lineitem_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fact_order_items (warehouse_dag.py:247-273): the widest join —

@@ -142,6 +142,7 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CAST(EXTRACT(quarter FROM o_orderdate) AS INT))
     """,
     covers=("EXT-rollup",),
+    bench=True,
 )
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (year, quarter) — subtotals + grand total in one pass
