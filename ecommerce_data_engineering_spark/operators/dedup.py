@@ -204,3 +204,44 @@ def simhash_near_dups(fingerprints: DataFrame, id_col: str,
     return (pairs.withColumn("hamming", ham)
                  .filter(F.col("hamming") <= max_hamming)
                  .select("id_a", "id_b", "hamming"))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → (node, component)
+    where component = min node id reachable — the canonical-document
+    assignment step after candidate verification.
+
+    Iterative min-label propagation (the large-graph standard): each
+    round every node takes min(own label, neighbors' labels); converges
+    in O(diameter) rounds.  Per round: one join + one groupBy —
+    all shuffles on the node id.  ``localCheckpoint`` truncates the
+    lineage so plans don't grow with iterations (the classic iterative-
+    algorithm trap on Spark).
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+             .distinct()
+             .localCheckpoint())
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy("src").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.src, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nmin"), F.col("label")))
+                              .alias("label")))
+        new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

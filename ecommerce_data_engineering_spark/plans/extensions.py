@@ -694,3 +694,35 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (sims.withColumn("rn", F.row_number().over(w).cast("int"))
             .filter(F.col("rn") <= ANN_K))
+
+
+def _clusters_oracle() -> str:
+    # transitive closure by recursive CTE (fine at candidate-pair scale;
+    # the Spark side is the one that must scale)
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle().replace('SELECT i.id_a, i.id_b,',
+                                 'SELECT i.id_a, i.id_b,').strip()}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS node,
+           least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+    """
+
+
+@query("dedup_clusters", oracle=_clusters_oracle(), covers=("EXT-dedup",))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH verified pairs → connected
+    components → canonical (node, component=min reachable id).  The
+    Spark side is iterative min-label propagation (scales to graphs
+    with billions of edges); the oracle computes the same components
+    with a recursive-CTE transitive closure."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    return D.connected_components(pairs)
