@@ -76,10 +76,16 @@ def _empty_dim(staging: DataFrame, key: str, attrs: list[str],
 
 def build_dim_customers(staged: DataFrame, prior: DataFrame | None,
                         as_of: str = AS_OF_DATE) -> DataFrame:
-    """warehouse_dag.py:31-92 — SCD2 on segment/city/country."""
-    attrs = ["email", "customer_segment", "city", "country",
+    """warehouse_dag.py:31-92 — SCD2 on segment/city/country; full_name
+    via null-propagating `||` concat (P6: PG `first || ' ' || last`
+    yields NULL if either side is NULL — F.concat matches; concat_ws
+    would skip NULLs, a documented semantic difference, SURVEY §2.2)."""
+    attrs = ["full_name", "email", "customer_segment", "city", "country",
              "registration_date"]
-    snapshot = staged.select("customer_id", *attrs)
+    snapshot = (staged.withColumn(
+        "full_name",
+        F.concat(F.col("first_name"), F.lit(" "), F.col("last_name")))
+        .select("customer_id", *attrs))
     if prior is None:
         return _empty_dim(snapshot, "customer_id", attrs, as_of)
     return scd2_merge(prior, snapshot, "customer_id",

@@ -271,3 +271,36 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "session_value")
     )
+
+
+@query(
+    "events_rollup_cascade",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM ts) AS INT) AS y,
+           CAST(EXTRACT(month FROM ts) AS INT) AS m,
+           event_type,
+           count(*) AS n_events,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100
+             AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    covers=("EXT-rollup", "A1"),
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade (the hypertable continuous-
+    aggregate shape): hour → day → month, each level re-aggregating the
+    one below.  The oracle aggregates the raw events directly — the
+    hash match proves the cascade is lossless for additive measures
+    (exact decimal sums make re-aggregation associative; non-additive
+    measures like distinct users must come from sketches instead)."""
+    e = load(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("value").cast("decimal(18,4)")).alias("v")))
+    daily = (hourly.groupBy(F.date_trunc("day", "h").alias("d"), "event_type")
+             .agg(F.sum("n").alias("n"), F.sum("v").alias("v")))
+    monthly = (daily.groupBy(F.year("d").alias("y"), F.month("d").alias("m"),
+                             "event_type")
+               .agg(F.sum("n").alias("n_events"),
+                    pround(F.sum("v").cast("double"), 2).alias("total_value")))
+    return monthly.select("y", "m", "event_type", "n_events", "total_value")
