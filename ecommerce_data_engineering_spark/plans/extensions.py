@@ -726,3 +726,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a recursive-CTE transitive closure."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     return D.connected_components(pairs)
+
+
+@query(
+    "corpus_dedup_stats",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    per_doc AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT
+      (SELECT count(*) FROM documents) AS n_docs,
+      (SELECT count(DISTINCT md5(lower(trim(text)))) FROM documents) AS n_unique_texts,
+      (SELECT floor((1.0 - count(DISTINCT md5(lower(trim(text)))) * 1.0 / count(*))
+             * 10000 + 0.5) / 10000 FROM documents) AS exact_dup_rate,
+      (SELECT count(DISTINCT shingle) FROM sh) AS shingle_vocab,
+      (SELECT floor(CAST(sum(n_sh) AS DOUBLE) / count(*) * 100 + 0.5) / 100
+       FROM per_doc) AS avg_shingles_per_doc
+    """,
+    covers=("A7", "EXT-dedup"),
+)
+def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup telemetry: the numbers a training-data
+    pipeline reports before/after dedup (doc counts, exact-dup rate,
+    shingle vocabulary, shingles per doc)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "text", "doc_id")
+    key = F.md5(F.lower(F.trim(F.col("text"))))
+    doc_stats_ = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(key).alias("n_unique_texts"),
+        pround(1.0 - F.countDistinct(key) / F.count(F.lit(1)), 4)
+        .alias("exact_dup_rate"),
+    )
+    sh_stats = sh.agg(F.countDistinct("shingle").alias("shingle_vocab"))
+    per_doc = (sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+               .agg(pround(F.sum("n_sh").cast("double") / F.count(F.lit(1)), 2)
+                    .alias("avg_shingles_per_doc")))
+    return doc_stats_.crossJoin(sh_stats).crossJoin(per_doc)

@@ -414,3 +414,114 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     only = building.exceptAll(urgent).agg(F.count(F.lit(1)).alias("n")) \
         .withColumn("cohort", F.lit("building_only"))
     return both.unionByName(only).select("cohort", "n")
+
+
+@query(
+    "top_return_customers",
+    oracle=f"""
+    SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+           floor(CAST(sum({_DEC_EP} * {_DEC_DISC}) AS DOUBLE) * 100 + 0.5) / 100
+             AS revenue_lost,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_lost DESC, customer_id
+    LIMIT 20
+    """,
+    covers=("O1", "J2", "F1"),
+)
+def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    filter + 4-way join + agg + distributed top-k."""
+    li, orders, customer, nation = (
+        load(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation"))
+    returned = li.filter(F.col("l_returnflag") == "R")
+    in98 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")))
+    return (
+        returned.join(in98, returned.l_orderkey == in98.o_orderkey)
+        .join(F.broadcast(customer), in98.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("c_custkey").alias("customer_id"),
+                 F.col("c_name").alias("customer_name"),
+                 F.col("n_name").alias("nation"))
+        .agg(pround(F.sum(_dec_ep() * _dec_disc()).cast("double"), 2)
+             .alias("revenue_lost"))
+        .select("customer_id", "customer_name", "revenue_lost", "nation")
+        .orderBy(F.desc("revenue_lost"), F.asc("customer_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "shipmode_priority_buckets",
+    oracle="""
+    SELECT l_linestatus AS line_status,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_lines,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+    covers=("A3", "F4", "P15"),
+)
+def shipmode_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: IN-list bucketing inside conditional sums."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("line_status"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"))
+    )
+
+
+@query(
+    "disjunctive_predicate_revenue",
+    oracle=f"""
+    SELECT floor(CAST(sum({_DEC_EP} * {_DEC_DISC}) AS DOUBLE) * 100 + 0.5) / 100
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+             AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+             AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    covers=("F2", "F4", "J1"),
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides —
+    Catalyst pushes the common partkey equi-condition into the join and
+    evaluates the disjunction post-join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+
+    def leg(brand, slo, shi, qlo, qhi):
+        return ((F.col("p_brand") == brand)
+                & F.col("p_size").between(slo, shi)
+                & F.col("l_quantity").between(qlo, qhi))
+
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(leg("Brand#1", 1, 15, 1, 20)
+                | leg("Brand#2", 10, 30, 10, 35)
+                | leg("Brand#3", 20, 50, 20, 50))
+        .agg(pround(F.sum(_dec_ep() * _dec_disc()).cast("double"), 2)
+             .alias("revenue"))
+    )

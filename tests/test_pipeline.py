@@ -194,3 +194,18 @@ def test_full_warehouse_inventory(tables, spark):
     assert out["top_products"].count() <= 20
     assert abs(sum(r.pct_of_customers for r in
                    out["customer_segmentation"].collect()) - 100.0) < 0.5
+
+
+def test_pipeline_tolerates_empty_orders(spark):
+    """Robustness: an empty daily batch must flow through staging →
+    SCD2 → facts → analytics without errors (the Monday-morning empty
+    feed), producing empty facts and order-less metrics."""
+    raw = generate_ecommerce(spark, scale=0.02)
+    raw["orders"] = raw["orders"].limit(0)
+    raw["order_items"] = raw["order_items"].limit(0)
+    out = run_pipeline(spark, raw, as_of=AS_OF)
+    assert out["fact_orders"].count() == 0
+    assert out["daily_sales"].count() == 0
+    cm = out["customer_metrics"]
+    assert cm.count() > 0
+    assert cm.filter(F.col("churn_risk") != "No Orders").count() == 0
