@@ -525,3 +525,222 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(pround(F.sum(_dec_ep() * _dec_disc()).cast("double"), 2)
              .alias("revenue"))
     )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS potential_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    covers=("F2", "A1", "P12"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate
+    pushes to parquet; zero joins, one shuffle-free partial+final agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+                  & F.col("l_discount").between(0.05, 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(pround(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                          * F.col("l_discount").cast("decimal(8,4)"))
+                    .cast("double"), 2).alias("potential_revenue"))
+    )
+
+
+@query(
+    "volume_between_nations",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+           floor(CAST(sum({_DEC_EP} * {_DEC_DISC}) AS DOUBLE) * 100 + 0.5) / 100
+             AS volume
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS INT)
+    """,
+    covers=("J2", "F8"),
+)
+def volume_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way join with the nation dim joined TWICE
+    (customer side + supplier side) under different aliases, cross-
+    nation trade only."""
+    li, orders, customer, supplier, nation = (
+        load(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cn), customer.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation",
+                 F.year("l_shipdate").alias("ship_year"))
+        .agg(pround(F.sum(_dec_ep() * _dec_disc()).cast("double"), 2)
+             .alias("volume"))
+    )
+
+
+@query(
+    "product_profit_by_nation",
+    oracle=f"""
+    SELECT sn.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+           floor(CAST(sum({_DEC_EP} * {_DEC_DISC}
+                          - CAST(l.l_quantity AS DECIMAL(18,4))
+                            * CAST(p.p_retailprice * 0.6 AS DECIMAL(18,4)))
+                      AS DOUBLE) * 100 + 0.5) / 100 AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY sn.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+    """,
+    covers=("J2", "P12"),
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue − synthetic supply cost) per
+    supplier nation per year, LIKE-filtered parts."""
+    li, part, supplier, nation, orders = (
+        load(spark, sf_dir, t)
+        for t in ("lineitem", "part", "supplier", "nation", "orders"))
+    cost = (F.col("l_quantity").cast("decimal(18,4)")
+            * (F.col("p_retailprice") * 0.6).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_name").like("%a%"))),
+                li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("order_year"))
+        .agg(pround(F.sum(_dec_ep() * _dec_disc() - cost).cast("double"), 2)
+             .alias("profit"))
+    )
+
+
+@query(
+    "top_supplier",
+    oracle=f"""
+    WITH supplier_rev AS (
+      SELECT l_suppkey,
+             CAST(sum({_DEC_EP} * {_DEC_DISC}) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS supplier_key, s.s_name AS supplier_name,
+           floor(r.total_rev * 100 + 0.5) / 100 AS total_revenue
+    FROM supplier_rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM supplier_rev)
+    """,
+    covers=("A6", "A7", "J1"),
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-max subquery (keeps ties,
+    unlike LIMIT 1) — exact decimal revenue makes the equality safe."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    rev = (li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec_ep() * _dec_disc()).cast("double").alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("__mx"))
+            .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+            .select(F.col("s_suppkey").alias("supplier_key"),
+                    F.col("s_name").alias("supplier_name"),
+                    pround(F.col("total_rev"), 2).alias("total_revenue")))
+
+
+@query(
+    "supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS part_type,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type
+    """,
+    covers=("A2", "F6", "J6"),
+)
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts with NOT-IN exclusion
+    — expressed as a left-anti join (the NOT IN set has non-null keys,
+    so anti-join is exactly equivalent; SURVEY F6's null hazard note)."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part.filter(
+            (F.col("p_brand") != "Brand#45")
+            & ~F.col("p_type").like("MEDIUM%"))),
+            li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"),
+                 F.col("p_type").alias("part_type"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle=f"""
+    WITH big_orders AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+           o.o_orderkey AS order_key,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           floor(o.o_totalprice * 100 + 0.5) / 100 AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big_orders)
+    """,
+    covers=("F5", "J5", "A1"),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery → semi join
+    against the aggregated key set."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+           .filter(F.col("q") > 250).select("l_orderkey"))
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(F.col("c_custkey").alias("customer_id"),
+                F.col("c_name").alias("customer_name"),
+                F.col("o_orderkey").alias("order_key"),
+                F.col("o_orderdate").cast("date").alias("order_date"),
+                pround(F.col("o_totalprice"), 2).alias("total_price"))
+    )
