@@ -10,6 +10,7 @@ from .dedup import (
     jaccard_verify,
     simhash,
     simhash_near_dups,
+    connected_components,
 )
 from .similarity import with_norm, cosine_topk, lsh_cosine_topk
 from .text import (
@@ -36,6 +37,7 @@ __all__ = [
     "distributed_topk", "topk_per_group",
     "exact_dedup", "word_shingles", "minhash_signatures",
     "lsh_candidate_pairs", "jaccard_verify", "simhash", "simhash_near_dups",
+    "connected_components",
     "with_norm", "cosine_topk", "lsh_cosine_topk",
     "language_id", "quality_score", "token_counts", "fingerprints",
     "word_count", "punct_ratio",

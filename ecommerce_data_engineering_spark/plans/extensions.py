@@ -762,3 +762,49 @@ def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(pround(F.sum("n_sh").cast("double") / F.count(F.lit(1)), 2)
                     .alias("avg_shingles_per_doc")))
     return doc_stats_.crossJoin(sh_stats).crossJoin(per_doc)
+
+
+QUALITY_KEEP_T = 0.5
+
+
+@query(
+    "corpus_filter_pipeline",
+    oracle=f"""
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))
+    ), scored AS (
+      SELECT d.doc_id, d.lang, d.source,
+             list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w,
+             floor(length(regexp_replace(d.text, '[^.!?,;:]', '', 'g'))
+                   / greatest(length(d.text), 1) * 10000 + 0.5) / 10000 AS punct
+      FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    )
+    SELECT doc_id, lang, source,
+           len(w) AS n_tokens,
+           floor((least(len(w) / 100.0, 1.0)
+                  + len(list_distinct(w)) / greatest(len(w), 1)
+                  + 1.0 - least(punct * 10, 1.0)) / 3.0 * 10000 + 0.5) / 10000
+             AS quality_score
+    FROM scored
+    WHERE floor((least(len(w) / 100.0, 1.0)
+                 + len(list_distinct(w)) / greatest(len(w), 1)
+                 + 1.0 - least(punct * 10, 1.0)) / 3.0 * 10000 + 0.5) / 10000
+          >= {QUALITY_KEEP_T}
+    """,
+    covers=("EXT-text", "EXT-dedup"),
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data filter: exact-dedup keep-list →
+    quality scoring → threshold — the standard select-what-to-train-on
+    pass, end to end in one declarative plan (each stage is the
+    operator tested individually above)."""
+    docs = load(spark, sf_dir, "documents")
+    keepers = (D.exact_dedup(docs, "text", "doc_id")
+               .select(F.col("keeper_id").alias("doc_id")))
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    return (kept.select(
+        "doc_id", "lang", "source",
+        X.word_count(F.col("text")).alias("n_tokens"),
+        X.quality_score(F.col("text")).alias("quality_score"))
+        .filter(F.col("quality_score") >= QUALITY_KEEP_T))

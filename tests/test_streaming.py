@@ -70,3 +70,38 @@ def test_incremental_daily_sales_equals_batch(spark, sf_dir, tmp_path):
                   .cast("double").alias("rev"))
             .collect()}
     assert got == want
+
+
+@pytest.mark.timeout(300)
+def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir):
+    """The watermarked stream-stream join must produce exactly the
+    pairs the equivalent batch interval join produces."""
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.sources import load
+    from ecommerce_data_engineering_spark.streaming.joins import (
+        stream_click_purchase_join)
+
+    out = stream_click_purchase_join(spark, sf_dir, lookback_minutes=60)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("ss_join_test").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.purchase_id, r.click_id) for r in
+           spark.sql("SELECT * FROM ss_join_test").collect()}
+
+    e = load(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("cu"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("cts")))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("pu"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("pts")))
+    want = {(r.purchase_id, r.click_id) for r in
+            purchases.join(
+                clicks,
+                (F.col("pu") == F.col("cu"))
+                & (F.col("cts") <= F.col("pts"))
+                & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 60 MINUTES")),
+            ).collect()}
+    assert got == want and len(want) > 0
