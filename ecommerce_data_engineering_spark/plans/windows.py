@@ -212,3 +212,39 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy("event_type")
             .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+@query(
+    "unpivot_monthly_metrics",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+             CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT y, m, 'n_orders' AS metric, floor(n_orders * 100 + 0.5) / 100 AS value FROM monthly
+    UNION ALL
+    SELECT y, m, 'n_customers', floor(n_customers * 100 + 0.5) / 100 FROM monthly
+    UNION ALL
+    SELECT y, m, 'revenue', floor(revenue * 100 + 0.5) / 100 FROM monthly
+    """,
+    covers=("EXT-pivot",),
+)
+def unpivot_monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): DataFrame.unpivot / melt — the inverse of
+    event_type_pivot; metric columns become (metric, value) rows in one
+    JVM Expand pass (the oracle spells the portable UNION ALL form)."""
+    o = load(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.year("o_orderdate").alias("y"),
+                         F.month("o_orderdate").alias("m"))
+               .agg(F.count(F.lit(1)).cast("double").alias("n_orders"),
+                    F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                     .cast("double").alias("revenue")))
+    return (monthly.unpivot(["y", "m"],
+                            ["n_orders", "n_customers", "revenue"],
+                            "metric", "value")
+            .select("y", "m", "metric", pround(F.col("value"), 2).alias("value")))
