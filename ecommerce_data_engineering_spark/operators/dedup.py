@@ -30,7 +30,7 @@ from __future__ import annotations
 from ..functions.rounding import pround
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.hashing import minhash_cols, portable_hash_hex
+from ..functions.hashing import minhash_cols
 
 
 # --------------------------------------------------------------------- exact

@@ -364,7 +364,6 @@ def _campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     priorities (the fixtures ship no campaign table; FIXTURES.md §9)."""
     o = load(spark, sf_dir, "orders")
     base = F.lit("1995-06-01").cast("date")
-    offset = F.substring("o_orderpriority", 1, 1).cast("int") * 100
     return (
         o.select(F.col("o_orderpriority").alias("campaign_id")).distinct()
         .withColumn("start_date",

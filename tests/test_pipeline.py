@@ -159,7 +159,6 @@ def test_pipeline_from_csv_files(spark, tmp_path):
         if schema is None:
             csv_raw[name] = spark.read.csv(path, header=True, inferSchema=True)
         else:
-            declared = [f.name for f in schema.fields if f.name in df.columns]
             from pyspark.sql import types as T
             sub = T.StructType([f for f in schema.fields if f.name in df.columns])
             csv_raw[name] = read_csv_declared(spark, path, sub)

@@ -4,7 +4,7 @@ change, and the null-unsafe `!=` fidelity trap."""
 
 from __future__ import annotations
 
-from pyspark.sql import Row, functions as F
+from pyspark.sql import functions as F
 
 from ecommerce_data_engineering_spark.operators.scd2 import scd2_merge
 
@@ -26,7 +26,7 @@ def _dim(spark, rows):
 
 def _staging(spark, rows):
     return spark.createDataFrame(
-        [Row(customer_id=r[0], segment=r[1], city=r[2]) for r in rows],
+        [(r[0], r[1], r[2]) for r in rows],
         "customer_id string, segment string, city string",
     )
 
