@@ -91,8 +91,8 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0))
     return df.select(
         F.col(id_col),
-        ws.alias("ws_tokens"),
-        bpe.alias("bpe_ish_tokens"),
+        ws.cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_ish_tokens"),
     )
 
 

@@ -431,7 +431,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        X.word_count(F.col("text")).alias("n_words"),
+        X.word_count(F.col("text")).cast("bigint").alias("n_words"),
         X.punct_ratio(F.col("text")).alias("punct_ratio"),
         X.quality_score(F.col("text")).alias("quality_score"),
     )
@@ -805,6 +805,6 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.join(keepers, "doc_id", "left_semi")
     return (kept.select(
         "doc_id", "lang", "source",
-        X.word_count(F.col("text")).alias("n_tokens"),
+        X.word_count(F.col("text")).cast("bigint").alias("n_tokens"),
         X.quality_score(F.col("text")).alias("quality_score"))
         .filter(F.col("quality_score") >= QUALITY_KEEP_T))
