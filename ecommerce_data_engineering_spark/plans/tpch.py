@@ -744,3 +744,161 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderdate").cast("date").alias("order_date"),
                 pround(F.col("o_totalprice"), 2).alias("total_price"))
     )
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l WHERE l.l_quantity > 0
+      GROUP BY l.l_partkey, l.l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost FROM supply GROUP BY l_partkey
+    )
+    SELECT s.l_partkey AS part_key, s.l_suppkey AS supplier_key,
+           floor(s.unit_cost * 100 + 0.5) / 100 AS unit_cost,
+           sup.s_name AS supplier_name,
+           n.n_name AS nation
+    FROM supply s
+    JOIN best b ON s.l_partkey = b.l_partkey AND s.unit_cost = b.best_cost
+    JOIN supplier sup ON s.l_suppkey = sup.s_suppkey
+    JOIN nation n ON sup.s_nationkey = n.n_nationkey
+    """,
+    covers=("A6", "J9", "J2"),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-per-group correlated subquery → aggregate +
+    equality self-join (keeps ties, the Q2 semantics), enriched through
+    dims.  unit_cost division is IEEE-identical on both engines (same
+    two operands), so the equality join is safe."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    supply = (li.filter(F.col("l_quantity") > 0)
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("unit_cost")))
+    best = supply.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("unit_cost").alias("best_cost"))
+    return (
+        supply.join(best, (supply.l_partkey == best.bk)
+                    & (supply.unit_cost == best.best_cost))
+        .join(F.broadcast(supplier), supply.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(F.col("l_partkey").alias("part_key"),
+                F.col("l_suppkey").alias("supplier_key"),
+                pround(F.col("unit_cost"), 2).alias("unit_cost"),
+                F.col("s_name").alias("supplier_name"),
+                F.col("n_name").alias("nation"))
+    )
+
+
+@query(
+    "suppliers_with_excess_stock",
+    oracle="""
+    SELECT s.s_suppkey AS supplier_key, s.s_name AS supplier_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'a%')
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 100
+    )
+    """,
+    covers=("F5", "J5"),
+)
+def suppliers_with_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subqueries → chained semi joins
+    (part-name filter inside, grouped-HAVING threshold outside)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    a_parts = part.filter(F.col("p_name").like("a%")).select("p_partkey")
+    heavy = (li.join(a_parts, li.l_partkey == a_parts.p_partkey, "left_semi")
+             .groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q"))
+             .filter(F.col("q") > 100).select("l_suppkey"))
+    return (supplier.join(heavy, supplier.s_suppkey == heavy.l_suppkey,
+                          "left_semi")
+            .select(F.col("s_suppkey").alias("supplier_key"),
+                    F.col("s_name").alias("supplier_name")))
+
+
+@query(
+    "late_only_suppliers",
+    oracle="""
+    SELECT l.l_suppkey AS supplier_key, count(*) AS n_late_lines
+    FROM lineitem l
+    WHERE l.l_linestatus = 'F'
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l.l_orderkey
+                        AND l2.l_suppkey <> l.l_suppkey
+                        AND l2.l_linestatus = 'O')
+    GROUP BY l.l_suppkey
+    """,
+    covers=("F5", "F6", "J5", "J6"),
+)
+def late_only_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS with correlated conditions
+    → a semi join and an anti join against tailored key sets."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    finished = li.filter(F.col("l_linestatus") == "F")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    # anti condition: some OTHER supplier on the same order has an open line
+    open_lines = (li.filter(F.col("l_linestatus") == "O")
+                  .select(F.col("l_orderkey").alias("ok"),
+                          F.col("l_suppkey").alias("sk")))
+    base = (finished
+            .join(f_orders, finished.l_orderkey == f_orders.o_orderkey,
+                  "left_semi"))
+    bad = base.alias("b").join(
+        open_lines,
+        (F.col("b.l_orderkey") == open_lines.ok)
+        & (F.col("b.l_suppkey") != open_lines.sk),
+        "left_semi")
+    keep = base.exceptAll(bad)
+    return (keep.groupBy(F.col("l_suppkey").alias("supplier_key"))
+            .agg(F.count(F.lit(1)).alias("n_late_lines")))
+
+
+@query(
+    "dormant_high_balance_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        AS threshold
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS nation_key,
+           count(*) AS n_customers,
+           floor(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS total_balance
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.threshold
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    covers=("F6", "J6", "A7"),
+)
+def dormant_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-average threshold + NOT EXISTS
+    (order-less customers) → cross-joined scalar + anti join."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    threshold = (customer.filter(F.col("c_acctbal") > 0)
+                 .agg((F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                       .cast("double") / F.count(F.lit(1))).alias("threshold")))
+    return (
+        customer.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(orders.select("o_custkey"),
+              customer.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             pround(F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                    .cast("double"), 2).alias("total_balance"))
+    )

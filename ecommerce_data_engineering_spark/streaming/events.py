@@ -66,3 +66,18 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     q.awaitTermination(timeout_s)
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def stream_deduplicated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once ingestion: watermarked dropDuplicates on
+    the event id — re-delivered events (at-least-once sources) are
+    discarded while their id is inside the watermark horizon; state for
+    older ids is evicted.  The streaming twin of dedup_exact."""
+    src = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return (src.withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"]))

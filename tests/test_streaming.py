@@ -105,3 +105,33 @@ def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir):
                 & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 60 MINUTES")),
             ).collect()}
     assert got == want and len(want) > 0
+
+
+@pytest.mark.timeout(300)
+def test_streaming_dedup_drops_redelivered(spark, sf_dir, tmp_path):
+    """Feed the same events file twice (simulated redelivery): the
+    watermarked dropDuplicates stream must emit each event_id once."""
+    import shutil
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.sources import load
+    from ecommerce_data_engineering_spark.streaming.events import (
+        stream_deduplicated_events)
+
+    src_dir = tmp_path / "feed"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events_redelivered.parquet")
+    # glob in the operator matches only events.parquet; widen for the test
+    from ecommerce_data_engineering_spark.streaming import events as ev_mod
+    src = (spark.readStream.schema(ev_mod._STREAM_SCHEMA)
+           .parquet(str(src_dir))
+           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    dedup = (src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]))
+    q = (dedup.writeStream.outputMode("append").format("memory")
+         .queryName("stream_dedup_test").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) c FROM stream_dedup_test").collect()[0].c
+    distinct_ids = spark.sql(
+        "SELECT count(DISTINCT event_id) c FROM stream_dedup_test").collect()[0].c
+    want = load(spark, sf_dir, "events").count()
+    assert n == distinct_ids == want
