@@ -808,3 +808,40 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.word_count(F.col("text")).cast("bigint").alias("n_tokens"),
         X.quality_score(F.col("text")).alias("quality_score"))
         .filter(F.col("quality_score") >= QUALITY_KEEP_T))
+
+
+def _emb_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_VEC_CTE},
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+      FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT d.id_a, d.id_b
+      FROM dots d
+      JOIN norms na ON d.id_a = na.vec_id
+      JOIN norms nb ON d.id_b = nb.vec_id
+      WHERE floor(d.dot / (na.nrm * nb.nrm) * 1000000 + 0.5) / 1000000 >= 0.4
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS node, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+    """
+
+
+@query("dedup_embedding_clusters", oracle=_emb_clusters_oracle(),
+       covers=("EXT-dedup", "EXT-similarity"))
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs
+    (≥ 0.4) → connected components → one canonical representative per
+    semantic cluster.  Same iterative operator as dedup_clusters, fed
+    by vector similarity instead of lexical overlap."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    return D.connected_components(pairs)

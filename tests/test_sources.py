@@ -60,3 +60,21 @@ def test_view_sink(spark):
     df = spark.range(5).select(F.col("id").alias("k"))
     write_view(df, "test_view_sink_v")
     assert spark.sql("SELECT count(*) c FROM test_view_sink_v").collect()[0].c == 5
+
+
+def test_fixture_schemas_match_declarations(spark, sf_dir):
+    """Guard against driver fixture drift between rounds: every parquet
+    table must still match the declared StructType (events.ts arrives
+    as long under nanosAsLong and is normalized by load())."""
+    from ecommerce_data_engineering_spark.schemas import FIXTURES
+    from ecommerce_data_engineering_spark.sources import load
+
+    for name, schema in FIXTURES.items():
+        df = load(spark, sf_dir, name)
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        want = {f.name: f.dataType.simpleString() for f in schema.fields}
+        # timestamps read as timestamp_ntz under UTC sessions — equivalent
+        norm = lambda t: t.replace("timestamp_ntz", "timestamp")
+        got = {k: norm(v) for k, v in got.items()}
+        want = {k: norm(v) for k, v in want.items()}
+        assert got == want, (name, got, want)
