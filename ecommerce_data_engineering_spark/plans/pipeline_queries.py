@@ -15,11 +15,14 @@ from ..pipeline import run_pipeline
 from ..sources.synthetic import generate_ecommerce
 from .registry import query
 
-_CACHE: dict[int, dict[str, DataFrame]] = {}
+_CACHE: dict[str, dict[str, DataFrame]] = {}
 
 
 def _tables(spark: SparkSession) -> dict[str, DataFrame]:
-    key = id(spark)
+    # keyed by applicationId, not id(spark): Python id() values can be
+    # recycled after GC, which would hand a new session DataFrames bound
+    # to a stopped one
+    key = spark.sparkContext.applicationId
     if key not in _CACHE:
         _CACHE[key] = run_pipeline(spark, generate_ecommerce(spark, scale=0.05),
                                    as_of="2024-07-09")
