@@ -34,3 +34,18 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@pytest.mark.parametrize("name", ["top_products", "customer_value_quartiles",
+                                  "dedup_minhash_lsh", "embedding_cosine_topk",
+                                  "dedup_clusters"])
+def test_double_run_determinism(spark, sf_dir, name):
+    """Canary against partition-order nondeterminism: the ranked /
+    hashed / iterative queries must produce identical canonical rows on
+    two executions within one session."""
+    from .oracle import canonical
+
+    spec = REGISTRY[name]
+    a = canonical(spec.fn(spark, sf_dir).toPandas())
+    b = canonical(spec.fn(spark, sf_dir).toPandas())
+    assert a == b

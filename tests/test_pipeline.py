@@ -208,3 +208,22 @@ def test_pipeline_tolerates_empty_orders(spark):
     cm = out["customer_metrics"]
     assert cm.count() > 0
     assert cm.filter(F.col("churn_risk") != "No Orders").count() == 0
+
+
+def test_materialize_partitioned_facts_roundtrip(spark, tables, tmp_path):
+    """Close the S4/S5 loop with real pipeline data: write fact_orders
+    month-partitioned, read back, verify counts and partition pruning."""
+    from ecommerce_data_engineering_spark.sources import write_partitioned
+
+    fo = tables["fact_orders"]
+    out = str(tmp_path / "fact_orders")
+    write_partitioned(fo, out)
+    back = spark.read.parquet(out)
+    assert back.count() == fo.count()
+    months = sorted(r.order_month for r in
+                    back.select("order_month").distinct().collect())
+    assert len(months) >= 12
+    one = back.filter(F.col("order_month") == months[0])
+    want = fo.filter(
+        (F.col("order_date_key") / 100).cast("int") == months[0]).count()
+    assert one.count() == want
