@@ -78,3 +78,26 @@ def test_fixture_schemas_match_declarations(spark, sf_dir):
         got = {k: norm(v) for k, v in got.items()}
         want = {k: norm(v) for k, v in want.items()}
         assert got == want, (name, got, want)
+
+
+def test_catalog_serving_views(spark, sf_dir):
+    """S6: the BI-serving surface — register fixtures + analytics views,
+    then answer business questions in pure SQL against view names
+    (the reference's public-schema Looker contract)."""
+    from ecommerce_data_engineering_spark.sources.catalog import (
+        register_fixtures, register_serving_views)
+
+    tables = register_fixtures(spark, sf_dir)
+    views = register_serving_views(spark, sf_dir)
+    assert set(tables) >= {"orders", "lineitem", "customer"}
+    assert "daily_sales" in views and "executive_summary" in views
+
+    top_day = spark.sql("""
+        SELECT sales_date, total_revenue FROM daily_sales
+        ORDER BY total_revenue DESC, sales_date LIMIT 1""").collect()[0]
+    assert top_day.total_revenue > 0
+    summary = spark.sql("SELECT * FROM executive_summary").collect()[0]
+    assert summary.total_orders > 0 and summary.total_customers > 0
+    seg = spark.sql("""
+        SELECT sum(customer_count) AS n FROM customer_segmentation""").collect()[0]
+    assert seg.n == spark.sql("SELECT count(*) c FROM customer").collect()[0].c
