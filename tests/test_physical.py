@@ -77,3 +77,40 @@ def test_foreachbatch_sink_writes_parquet(spark, sf_dir):
         assert back.count() > 0
         assert set(back.columns) == {"window_start", "event_type",
                                      "n_events", "total_value"}
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime Bloom-filter injection (Spark 3.3+): a selective build
+    side plants a bloom_filter_agg semi-filter on the probe side's
+    scan — rows that can't join die before the shuffle.  At real scale
+    the 10 GB application-side threshold triggers this automatically;
+    the test lowers it to demonstrate the plan at fixture size."""
+    from ecommerce_data_engineering_spark.sources import load
+    from pyspark.sql import functions as F
+
+    prior_bloom = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, sf_dir, "lineitem")
+        urgent = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower()
+        # result unchanged by the runtime filter
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prior_bloom)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
+        assert j.count() == li.join(
+            urgent, li.l_orderkey == urgent.o_orderkey).count()
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prior_bloom)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
