@@ -542,11 +542,11 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("EXT-multimodal",),
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas 'decode' over binary payloads
-    (operators/multimodal.decode_media).  The kernel is a deterministic
-    stub (no codec libs in this container) but the plumbing — schema,
-    Arrow batches, partition flow — is the production shape, so even
-    this Python stage is oracle-checked."""
+    """Arrow-batched mapInPandas pseudo-decode over binary payloads
+    (operators/multimodal.decode_media, stub path) — the smoke check
+    for the Arrow plumbing on payloads with no decodable format (raw
+    text bytes here).  The REAL codec path is `multimodal_decode` /
+    `multimodal_audio_decode` (struct-level BMP/WAV)."""
     docs = load(spark, sf_dir, "documents")
     return M.decode_media(M.to_media_table(docs))
 
@@ -568,6 +568,58 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (M.frame_sample(M.to_media_table(docs), 64)
             .withColumn("frame_offset", F.col("frame_offset").cast("int")))
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           'image/bmp' AS media_kind,
+           CAST(1 + doc_id % 16 AS INT) AS width,
+           CAST(1 + doc_id % 12 AS INT) AS height,
+           CAST(54 + (1 + doc_id % 12)
+                    * (CAST(floor(((1 + doc_id % 16) * 3 + 3) / 4) AS BIGINT) * 4)
+                AS BIGINT) AS n_bytes,
+           CAST((doc_id % 256) * (1 + doc_id % 16) * (1 + doc_id % 12) * 3
+                AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    covers=("EXT-multimodal",),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: a deterministic BMP is encoded per
+    document (operators/multimodal.synth_bmp_media), then an Arrow-
+    batched mapInPandas kernel parses the actual bytes back
+    (functions/codecs.bmp_decode) — width/height come from the BMP
+    header, pixel_sum from the decoded pixel array, n_bytes from the
+    payload.  The oracle recomputes all four from the BMP spec, so a
+    decoder that faked any field would hash-mismatch."""
+    docs = load(spark, sf_dir, "documents")
+    return M.decode_image(M.synth_bmp_media(docs))
+
+
+@query(
+    "multimodal_audio_decode",
+    oracle="""
+    SELECT doc_id,
+           'audio/wav' AS media_kind,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(16 + doc_id % 64 AS BIGINT) AS n_frames,
+           CAST(44 + 2 * (16 + doc_id % 64) * (1 + doc_id % 2) AS BIGINT) AS n_bytes,
+           CAST(((doc_id % 256) - 128) * (16 + doc_id % 64) * (1 + doc_id % 2)
+                AS BIGINT) AS sample_sum
+    FROM documents
+    """,
+    covers=("EXT-multimodal",),
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: PCM-16 WAV encoded per document
+    (operators/multimodal.synth_wav_media), parsed back by
+    functions/codecs.wav_decode inside mapInPandas — rate/channels/
+    frames from the RIFF header, sample_sum from the decoded samples."""
+    docs = load(spark, sf_dir, "documents")
+    return M.decode_audio(M.synth_wav_media(docs))
 
 
 @query(
