@@ -37,26 +37,37 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
-    rtypes, ltypes = dict(right.dtypes), dict(left.dtypes)
+    ltypes = dict(left.dtypes)
     out_names = [(c, f"{c}{suffix}" if c in left.columns else c)
                  for c in value_cols]
-    attach = [a for _, a in out_names] + [f"{on}{suffix}"]
 
-    l_side = left.withColumn("__tag", F.lit(1))
-    for c, a in out_names:
-        l_side = l_side.withColumn(a, F.lit(None).cast(rtypes[c]))
-    l_side = l_side.withColumn(f"{on}{suffix}", F.lit(None).cast(rtypes[on]))
+    # The attached columns travel as ONE struct so the matched right row
+    # is atomic: running-last over the struct attaches the latest row
+    # AS-IS — a NULL field in that row stays NULL instead of being
+    # back-filled from an older row (pandas merge_asof / DuckDB ASOF
+    # semantics; per-column last(ignorenulls) would mix rows).
+    payload_expr = F.struct(
+        *[F.col(c).alias(a) for c, a in out_names],
+        F.col(on).alias(f"{on}{suffix}"),
+    )
+    payload_type = right.select(payload_expr.alias("p")).schema["p"].dataType
 
-    r_side = (right.select(by, on, *[F.col(c).alias(a) for c, a in out_names])
-              .withColumn(f"{on}{suffix}", F.col(on))
+    l_side = (left.withColumn("__tag", F.lit(1))
+              .withColumn("__payload", F.lit(None).cast(payload_type)))
+    r_side = (right.select(by, on, payload_expr.alias("__payload"))
               .withColumn("__tag", F.lit(0)))
     for c in left.columns:
         if c not in (by, on):
             r_side = r_side.withColumn(c, F.lit(None).cast(ltypes[c]))
 
-    unioned = l_side.unionByName(r_side)
     w = (Window.partitionBy(by).orderBy(F.col(on), F.col("__tag"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    for a in attach:
-        unioned = unioned.withColumn(a, F.last(a, ignorenulls=True).over(w))
-    return unioned.filter(F.col("__tag") == 1).drop("__tag")
+    matched = (l_side.unionByName(r_side)
+               .withColumn("__payload",
+                           F.last("__payload", ignorenulls=True).over(w))
+               .filter(F.col("__tag") == 1))
+    return matched.select(
+        *left.columns,
+        *[F.col(f"__payload.{a}").alias(a) for _, a in out_names],
+        F.col(f"__payload.{on}{suffix}").alias(f"{on}{suffix}"),
+    )

@@ -219,6 +219,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     all shuffles on the node id.  ``localCheckpoint`` truncates the
     lineage so plans don't grow with iterations (the classic iterative-
     algorithm trap on Spark).
+
+    Convergence is tested on an exponential schedule (after rounds 1,
+    2, 4, 8, 16), with a single scalar aggregate instead of a self-join
+    diff: labels are monotonically non-increasing, so Σlabel strictly
+    decreases whenever ANY node changed — equal sums at two consecutive
+    checks prove the whole gap was a fixpoint.  Small-diameter graphs
+    (the common near-dup case) stop within a round or two of
+    converging, while a 20-round run pays ≤6 driver actions instead of
+    r01's join + count every round.
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(
@@ -228,7 +237,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))
-    for _ in range(max_iterations):
+    prev_sum = None
+    next_check = 1
+    for it in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("label").alias("nmin")))
         new_labels = (labels.join(neighbor_min,
@@ -237,11 +248,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                               F.least(F.col("label"),
                                       F.coalesce(F.col("nmin"), F.col("label")))
                               .alias("label")))
-        new_labels = new_labels.localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = new_labels.localCheckpoint()
+        if (it + 1) == next_check or it == max_iterations - 1:
+            next_check *= 2
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("label").alias("component"))

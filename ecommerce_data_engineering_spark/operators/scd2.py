@@ -39,13 +39,22 @@ def scd2_merge(dim: DataFrame, staging: DataFrame, natural_key: str,
                sentinel_expiry: str = "9999-12-31") -> DataFrame:
     """Return the post-merge dimension (same schema as ``dim``).
 
-    ``staging`` must carry ``natural_key`` + ``tracked`` columns (any
-    extra columns are ignored); ``dim`` must carry the SCD audit
-    columns.  Reference parity: warehouse_dag.py:31-92.
+    ``staging`` must carry ``natural_key`` plus EVERY dim attribute
+    column — tracked and untracked alike — because new/changed versions
+    are materialized from the staged snapshot (the reference's staging
+    tables are full snapshots, warehouse_dag.py:60-92).  Columns in
+    staging beyond those are ignored; ``dim`` must carry the SCD audit
+    columns.  A staging frame missing attributes fails fast here with
+    the missing names rather than deep in the union.
     """
     as_of = F.lit(as_of_date).cast("date")
     dim_cols = dim.columns
     attr_cols = [c for c in dim_cols if c not in (effective_col, expiry_col, current_col)]
+    missing = [c for c in attr_cols if c not in staging.columns]
+    if missing:
+        raise ValueError(
+            "scd2_merge: staging must carry every dim attribute column "
+            f"(tracked AND untracked); missing {missing}")
 
     current = dim.filter(F.col(current_col))
     history = dim.filter(~F.col(current_col))

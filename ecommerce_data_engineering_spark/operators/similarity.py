@@ -97,12 +97,33 @@ def hyperplane_sign_bits(df: DataFrame, vec_col: str, num_planes: int,
 
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                     num_planes: int = 6, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: exact cosine restricted to same-bucket pairs."""
+                    vec_col: str = "embedding",
+                    probe_hamming: int = 0) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to same-bucket pairs.
+
+    ``probe_hamming=1`` enables multi-probe: each QUERY additionally
+    probes every bucket at Hamming distance 1 from its own signature
+    (flip one bit), recovering neighbors that fell just across a
+    hyperplane.  Candidate volume grows ×(1+H) on the query side only —
+    the corpus is still bucketed once, so the production recall knob
+    costs |Q|·H extra probe rows, never a second corpus pass.
+    """
     qb = hyperplane_sign_bits(
         with_norm(queries, vec_col), vec_col, num_planes, dim
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
              F.col("norm").alias("q_norm"), "bucket")
+    if probe_hamming >= 1:
+        flips = [
+            F.concat(
+                F.substring("bucket", 1, p),
+                F.when(F.substring("bucket", p + 1, 1) == "1", F.lit("0"))
+                 .otherwise(F.lit("1")),
+                F.substring("bucket", p + 2, num_planes - p - 1),
+            )
+            for p in range(num_planes)
+        ]
+        qb = (qb.withColumn("bucket",
+                            F.explode(F.array(F.col("bucket"), *flips))))
     cb = hyperplane_sign_bits(
         with_norm(corpus, vec_col), vec_col, num_planes, dim
     ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
@@ -119,12 +140,16 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest centroid.
+               vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its ``nprobe``
+    nearest centroids (one output row per probed cell).
 
     ``centroids`` is a tiny (cluster_id, centroid vector) table —
-    broadcast, crossed, argmin by L2 distance with cluster_id tiebreak.
-    One pass over the corpus, cost |corpus|·K·d.
+    broadcast, crossed, ranked by L2 distance with cluster_id tiebreak.
+    One pass over the corpus, cost |corpus|·K·d.  Corpus vectors are
+    stored with nprobe=1 (each lives in ONE cell); queries probe
+    nprobe>1 cells at search time — the standard IVF recall knob, paid
+    per query, never as corpus duplication.
     """
     from pyspark.sql import Window
 
@@ -138,5 +163,5 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                                            F.col("cluster_id").asc())
     return (df.crossJoin(F.broadcast(c))
             .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            .filter(F.col("__rn") <= nprobe)
             .drop("c_vec", "__rn"))

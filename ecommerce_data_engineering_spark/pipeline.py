@@ -145,10 +145,38 @@ def build_dim_time(orders_staged: DataFrame,
 
 
 def _surrogate(dim: DataFrame, natural_key: str, surrogate: str) -> DataFrame:
-    """P20: deterministic surrogate keys for current dim rows."""
+    """P20: surrogate keys for current dim rows.
+
+    Dims built by ``run_pipeline`` carry a DURABLE stored key column
+    (operators/keys.surrogate_mapping — assigned at first sight, never
+    recomputed), so this is just the current-row filter.  The
+    row_number fallback serves standalone single-run callers only; in
+    an incremental pipeline it would reassign keys when the key set's
+    sort order shifts (reference SERIAL semantics forbid that)."""
+    if surrogate in dim.columns:
+        return dim.filter(F.col("is_current"))
     w = Window.orderBy(natural_key)
     return (dim.filter(F.col("is_current"))
             .withColumn(surrogate, F.row_number().over(w)))
+
+
+def _attach_surrogate(dim: DataFrame, prior_dim: DataFrame | None,
+                      natural_key: str, surrogate: str) -> DataFrame:
+    """Join the durable key mapping onto every version row of the dim
+    (all versions of a natural key share one surrogate — SERIAL
+    parity).  Prior keys are reused verbatim; only first-seen keys get
+    new values (max prior + row_number over the new keys alone)."""
+    from .operators.keys import surrogate_mapping
+
+    prior_map = (prior_dim.select(natural_key, surrogate).distinct()
+                 if prior_dim is not None and surrogate in prior_dim.columns
+                 else None)
+    mapping = surrogate_mapping(dim, natural_key, surrogate, prior_map)
+    return dim.join(mapping, natural_key)
+
+
+def _drop_if_present(df: DataFrame | None, col: str) -> DataFrame | None:
+    return df.drop(col) if df is not None and col in df.columns else df
 
 
 def build_fact_orders(orders_staged: DataFrame, dim_customers: DataFrame,
@@ -472,10 +500,21 @@ def run_pipeline(spark: SparkSession, raw: dict[str, DataFrame],
     }
     staging_quality(staged)
 
-    dim_customers = build_dim_customers(staged["customers"],
-                                        prior.get("dim_customers"), as_of)
-    dim_products = build_dim_products(staged["products"],
-                                      prior.get("dim_products"), as_of)
+    # SCD2 merge runs on the attribute columns only (the stored key is
+    # stripped from `prior` so it isn't mistaken for a tracked attr),
+    # then the durable key mapping is re-attached: prior keys verbatim,
+    # new natural keys get max(prior)+row_number(new) — facts retained
+    # by the M2 upsert keep resolving to the same dim rows run over run.
+    dim_customers = _attach_surrogate(
+        build_dim_customers(staged["customers"],
+                            _drop_if_present(prior.get("dim_customers"),
+                                             "customer_key"), as_of),
+        prior.get("dim_customers"), "customer_id", "customer_key")
+    dim_products = _attach_surrogate(
+        build_dim_products(staged["products"],
+                           _drop_if_present(prior.get("dim_products"),
+                                            "product_key"), as_of),
+        prior.get("dim_products"), "product_id", "product_key")
     dim_time = build_dim_time(staged["orders"], prior.get("dim_time"))
     fact_orders = build_fact_orders(staged["orders"], dim_customers,
                                     prior.get("fact_orders"))

@@ -109,6 +109,8 @@ _PRIORITY = [
     "corpus_dedup_stats",
     "corpus_filter_pipeline",
     "dedup_embedding_clusters",
+    "embedding_ann_lsh_multiprobe",
+    "embedding_ann_ivf_nprobe",
     "events_json_props",
     "events_rollup_cascade",
     "campaign_attribution_scalable",

@@ -158,10 +158,13 @@ def product_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     li = load(spark, sf_dir, "lineitem")
     # Pre-aggregate the fact side on its own key FIRST (partial agg
-    # map-side, one shuffle of partkey-grouped partials), then
-    # broadcast-join the per-part rollup onto the dim.  Equivalent to
-    # dim-LEFT-JOIN-fact-then-group, but never shuffles fact rows
-    # through the join — the shape that survives a 100x scale-up.
+    # map-side, one shuffle of partkey-grouped partials), then join the
+    # per-part rollup onto the dim.  No broadcast HINT: the rollup is
+    # part-grain, so it grows with |part| and a forced broadcast would
+    # overflow at 100× scale; unhinted, AQE broadcasts while the
+    # runtime size is small and falls back to a shuffle join that
+    # reuses the groupBy's partitioning when it isn't.  The fact rows
+    # never travel through the join either way.
     li_agg = (
         li.groupBy("l_partkey")
         .agg(
@@ -173,7 +176,7 @@ def product_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        p.join(F.broadcast(li_agg), p.p_partkey == li_agg.l_partkey, "left")
+        p.join(li_agg, p.p_partkey == li_agg.l_partkey, "left")
         .select(
             F.col("p_partkey").alias("product_id"),
             F.col("p_brand").alias("brand"),
@@ -456,8 +459,10 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     li = load(spark, sf_dir, "lineitem")
     # fact-side pre-aggregation (one shuffle on l_partkey), then the
-    # 20k-row rollup broadcast-joins the part names — the fact rows
-    # never travel through the join (same shape as product_metrics)
+    # part-grain rollup joins the part names — unhinted for the same
+    # reason as product_metrics: the rollup scales with |part|, so AQE
+    # decides broadcast vs shuffle from the runtime size instead of a
+    # hint that would force an oversized broadcast at 100×.
     li_agg = (
         li.groupBy("l_partkey")
         .agg(
@@ -469,7 +474,7 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rev = (
-        F.broadcast(li_agg).join(p, li_agg.l_partkey == p.p_partkey)
+        li_agg.join(p, li_agg.l_partkey == p.p_partkey)
         .select(F.col("p_partkey").alias("product_id"),
                 F.col("p_name").alias("product_name"),
                 "total_revenue", "total_quantity", "order_count")

@@ -354,6 +354,74 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_cosine_topk(emb, queries, ANN_K, EMB_DIM, ANN_PLANES)
 
 
+def _ann_lsh_mp_oracle() -> str:
+    return f"""
+    WITH {_VEC_CTE},
+    planes AS (SELECT unnest(generate_series(0, {ANN_PLANES - 1})) AS p),
+    sb AS (
+      SELECT v.vec_id, planes.p,
+             CASE WHEN floor((sum(v.x * (CASE WHEN
+                    strpos('0123456789abcdef',
+                           substr(md5(planes.p || '_' || CAST(v.i - 1 AS VARCHAR)), 1, 1)) - 1 >= 8
+                    THEN 1 ELSE -1 END))) * 1000000000 + 0.5) / 1000000000 > 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM v CROSS JOIN planes
+      GROUP BY v.vec_id, planes.p
+    ), buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sb GROUP BY vec_id
+    ),
+    qb AS (SELECT * FROM buckets WHERE vec_id < {ANN_QUERY_LIMIT}),
+    probes AS (
+      SELECT vec_id, bucket FROM qb
+      UNION
+      SELECT qb.vec_id,
+             substr(qb.bucket, 1, fp.p)
+               || (CASE WHEN substr(qb.bucket, fp.p + 1, 1) = '1'
+                        THEN '0' ELSE '1' END)
+               || substr(qb.bucket, fp.p + 2) AS bucket
+      FROM qb CROSS JOIN
+           (SELECT unnest(generate_series(0, {ANN_PLANES - 1})) AS p) fp
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM probes q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ), dots AS (
+      SELECT cand.query_id, cand.neighbor_id, sum(a.x * b.x) AS dot
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2
+    ), sims AS (
+      SELECT d.query_id, d.neighbor_id,
+             floor((d.dot / (nq.nrm * nc.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nc ON d.neighbor_id = nc.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {ANN_K}
+    """
+
+
+@query("embedding_ann_lsh_multiprobe", oracle=_ann_lsh_mp_oracle(),
+       covers=("EXT-similarity",))
+def embedding_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH (the production recall knob): every query
+    additionally probes the H buckets at Hamming distance 1 from its
+    signature, recovering neighbors that fell just across one
+    hyperplane.  Probe fan-out is query-side only — the corpus stays
+    bucketed once, so recall rises without a second corpus pass or
+    extra tables."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)
+    return S.lsh_cosine_topk(emb, queries, ANN_K, EMB_DIM, ANN_PLANES,
+                             probe_hamming=1)
+
+
 # ------------------------------------------------------------ text analysis
 
 _LANGS = ("de", "en", "es", "fr", "zh")
@@ -734,6 +802,94 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = assigned.select(F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("c_vec"),
                         F.col("norm").alias("c_norm"), "cluster_id")
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    sims = (q.join(c, "cluster_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine", pround(dot / (F.col("q_norm") * F.col("c_norm")), 6))
+            .select("query_id", "neighbor_id", "cosine"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (sims.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= ANN_K))
+
+
+ANN_NPROBE = 2
+
+
+def _ivf_nprobe_oracle() -> str:
+    return f"""
+    WITH {_VEC_CTE},
+    cent AS (
+      SELECT CAST(vec_id / {IVF_SEED_STEP} AS INT) AS cluster_id, i, x
+      FROM v WHERE vec_id % {IVF_SEED_STEP} = 0 AND vec_id < {IVF_K * IVF_SEED_STEP}
+    ), dist AS (
+      SELECT v.vec_id, c.cluster_id,
+             floor(sum((v.x - c.x) * (v.x - c.x)) * 1000000000 + 0.5) / 1000000000 AS d2
+      FROM v JOIN cent c ON v.i = c.i
+      GROUP BY 1, 2
+    ), ranked_cells AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+      FROM dist
+    ),
+    assigned AS (SELECT vec_id, cluster_id FROM ranked_cells WHERE rn = 1),
+    q_probe AS (
+      SELECT vec_id, cluster_id FROM ranked_cells
+      WHERE rn <= {ANN_NPROBE} AND vec_id < {ANN_QUERY_LIMIT}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM q_probe q JOIN assigned c
+        ON q.cluster_id = c.cluster_id AND q.vec_id <> c.vec_id
+    ), dots AS (
+      SELECT cand.query_id, cand.neighbor_id, sum(a.x * b.x) AS dot
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2
+    ), sims AS (
+      SELECT d.query_id, d.neighbor_id,
+             floor(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.5) / 1000000 AS cosine
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nc ON d.neighbor_id = nc.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {ANN_K}
+    """
+
+
+@query("embedding_ann_ivf_nprobe", oracle=_ivf_nprobe_oracle(),
+       covers=("EXT-similarity",))
+def embedding_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 (the IVF recall knob): each query searches its
+    TWO nearest cells while the corpus stays stored once per cell —
+    probe cost scales with |Q|·nprobe, never with corpus size.  Recall
+    strictly dominates the nprobe=1 variant (candidate superset)."""
+    from ..operators.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = (emb.filter((F.col("vec_id") % IVF_SEED_STEP == 0)
+                            & (F.col("vec_id") < IVF_K * IVF_SEED_STEP))
+                 .select((F.col("vec_id") / IVF_SEED_STEP).cast("int")
+                         .alias("cluster_id"), "embedding"))
+    corpus_cells = ivf_assign(S.with_norm(emb), centroids)
+    query_cells = ivf_assign(
+        S.with_norm(emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)),
+        centroids, nprobe=ANN_NPROBE)
+    q = query_cells.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("q_vec"),
+                           F.col("norm").alias("q_norm"), "cluster_id")
+    c = corpus_cells.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("embedding").alias("c_vec"),
+                            F.col("norm").alias("c_norm"), "cluster_id")
     dot = F.aggregate(
         F.zip_with(F.col("q_vec"), F.col("c_vec"),
                    lambda x, y: x.cast("double") * y.cast("double")),

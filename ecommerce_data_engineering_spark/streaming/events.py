@@ -54,11 +54,21 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str,
-                         timeout_s: int = 120) -> DataFrame:
+                         timeout_s: int = 120, mode: str = "update") -> DataFrame:
     """Drive a streaming query to completion on the available input
-    (Trigger.AvailableNow) and return the materialized result."""
+    (Trigger.AvailableNow) and return the materialized result.
+
+    ``update`` is the production posture the module docstring claims:
+    each micro-batch emits only the windows it changed, and the
+    watermark EVICTS state for windows older than the horizon
+    (tests/test_streaming.py::test_watermark_evicts_old_window_state
+    pins the eviction).  ``complete`` mode — available for ad-hoc
+    debugging — retains every window in the state store forever and
+    must not be used for an unbounded stream.  With a single
+    availableNow batch over a static fixture, update mode emits every
+    window exactly once, so the memory table equals the batch result."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(mode)
         .format("memory").queryName(name)
         .trigger(availableNow=True)
         .start()

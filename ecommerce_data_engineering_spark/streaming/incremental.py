@@ -47,15 +47,31 @@ def daily_sales_incremental(spark: SparkSession, sf_dir: str,
     )
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         batch = batch_df.cache()
         try:
             try:
                 existing = batch_df.sparkSession.read.parquet(rollup_path)
                 merged = keyed_upsert(existing, batch, "sales_date")
-            except Exception:
-                merged = batch    # first batch: nothing to merge into
+            except AnalysisException as e:
+                # ONLY the first-batch path-missing case may fall back to
+                # "nothing to merge into".  Any other read failure (perm,
+                # corruption, transient FS error) must fail the batch so
+                # the checkpoint retries instead of overwriting the
+                # accumulated rollup with one batch's days.
+                cond = (e.getCondition() if hasattr(e, "getCondition")
+                        else "") or str(e)
+                if "PATH_NOT_FOUND" not in cond \
+                        and "Path does not exist" not in str(e):
+                    raise
+                merged = batch
             merged.write.mode("overwrite").parquet(rollup_path + "_next")
-            # atomic-ish swap via overwrite of the serving path
+            # swap via overwrite of the serving path.  NOTE: parquet-dir
+            # overwrite is not atomic for concurrent readers — a reader
+            # mid-listing can see a partial table.  The format-free demo
+            # accepts that; production uses a table format (Delta/
+            # Iceberg) or a versioned-dir + pointer swap for atomicity.
             batch_df.sparkSession.read.parquet(rollup_path + "_next") \
                 .write.mode("overwrite").parquet(rollup_path)
         finally:

@@ -30,6 +30,23 @@ def test_asof_join_backward_inclusive(spark):
     assert out["t5"] == (None, None)          # key with no quotes
 
 
+def test_asof_join_attaches_latest_row_atomically(spark):
+    """A NULL field in the latest matching right row must stay NULL —
+    not get back-filled from an older row (pandas merge_asof / DuckDB
+    ASOF attach the matched row as-is)."""
+    quotes = spark.createDataFrame(
+        [("A", 10, 1.0, 100.0), ("A", 20, None, 200.0)],
+        "sym string, ts long, bid double, ask double")
+    trades = spark.createDataFrame(
+        [("A", 15, "t1"), ("A", 25, "t2")], "sym string, ts long, tid string")
+    out = {r.tid: (r.bid, r.ask, r.ts_right) for r in
+           asof_join(trades, quotes, on="ts", by="sym",
+                     value_cols=["bid", "ask"]).collect()}
+    assert out["t1"] == (1.0, 100.0, 10)
+    # latest row (ts=20) has bid=NULL — must NOT pick bid from ts=10
+    assert out["t2"] == (None, 200.0, 20)
+
+
 def test_null_safe_left_join_equals_plain(spark):
     left = spark.createDataFrame(
         [(1, "a"), (None, "b"), (2, "c"), (None, "d")],

@@ -102,3 +102,20 @@ def test_pandas_udf_quality_score_matches_builtin(spark, sf_dir):
         udf(F.col("text")).alias("udf"),
     )
     assert out.filter(F.abs(F.col("builtin") - F.col("udf")) > 1e-9).count() == 0
+
+
+def test_ann_recall_knobs_dominate_base_variants(spark, sf_dir):
+    """Multi-probe LSH and IVF nprobe=2 search candidate SUPERSETS of
+    their base variants, so at every (query, rank) the returned cosine
+    must be >= the base variant's — the recall knob can only help."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    for base, knob in (("embedding_ann_lsh", "embedding_ann_lsh_multiprobe"),
+                       ("embedding_ann_ivf", "embedding_ann_ivf_nprobe")):
+        b = {(r.query_id, r.rn): r.cosine for r in
+             REGISTRY[base].fn(spark, sf_dir).collect()}
+        k = {(r.query_id, r.rn): r.cosine for r in
+             REGISTRY[knob].fn(spark, sf_dir).collect()}
+        assert b, base
+        for key, cb in b.items():
+            assert key in k and k[key] >= cb, (base, key)

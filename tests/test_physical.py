@@ -114,3 +114,20 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prior_bloom)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
+
+
+def test_rollup_join_broadcasts_via_aqe_without_hint(spark, sf_dir):
+    """The part-grain rollup joins in product_metrics / top_products
+    carry NO broadcast hint (a hint would force an oversized broadcast
+    at 100x part cardinality — VERDICT r01 finding 4); AQE must still
+    pick a broadcast join at fixture scale from the runtime size."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    for name in ("product_metrics", "top_products"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in logical, f"{name} still hints broadcast"
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, name
+        assert "BroadcastHashJoin" in plan, f"{name}: AQE did not broadcast"

@@ -143,6 +143,32 @@ def test_incremental_scd2_run(spark, tables):
     assert out2["fact_orders"].count() == tables["fact_orders"].count()
 
 
+def test_surrogate_keys_durable_across_runs(spark, tables):
+    """A new natural key that sorts BEFORE every existing key must not
+    shift anyone else's surrogate (reference SERIAL semantics): retained
+    facts keep joining to the same customers (ADVICE r01 #1)."""
+    raw2 = generate_ecommerce(spark, scale=0.1)
+    newcomer = (raw2["customers"].limit(1)
+                .withColumn("customer_id", F.lit("AAAA_NEW"))
+                .withColumn("city", F.lit("Sylhet")))
+    raw2["customers"] = newcomer.unionByName(raw2["customers"])
+    out2 = run_pipeline(spark, raw2, as_of="2024-07-10", prior=tables)
+
+    old_map = {r.customer_id: r.customer_key for r in
+               tables["dim_customers"].filter("is_current")
+               .select("customer_id", "customer_key").collect()}
+    new_map = {r.customer_id: r.customer_key for r in
+               out2["dim_customers"].filter("is_current")
+               .select("customer_id", "customer_key").collect()}
+    assert all(new_map[k] == v for k, v in old_map.items())
+    # the newcomer (which sorts first) got the NEXT key, not key 1
+    assert new_map["AAAA_NEW"] == max(old_map.values()) + 1
+    # retained facts still resolve to the same customers
+    fact_keys = {r.customer_key for r in
+                 out2["fact_orders"].select("customer_key").distinct().collect()}
+    assert fact_keys <= set(new_map.values())
+
+
 def test_pipeline_from_csv_files(spark, tmp_path):
     """Close the S1→pipeline loop: generator → CSV files on disk →
     declared-schema CSV scan (PERMISSIVE) → full pipeline.  Mirrors the

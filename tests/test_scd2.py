@@ -105,3 +105,16 @@ def test_null_safe_mode_detects_null_change(spark):
     )
     c1 = out.filter("customer_id = 'C1'").collect()
     assert len(c1) == 2  # closed Premium row + new NULL-segment current
+
+
+def test_staging_missing_attr_columns_fails_fast(spark):
+    """The stated contract: staging must carry EVERY dim attribute
+    column; a key+tracked-only frame gets a clear error, not a deep
+    AnalysisException (ADVICE r01 #3)."""
+    import pytest
+
+    partial = spark.createDataFrame(
+        [("C1", "Budget")], "customer_id string, segment string")
+    with pytest.raises(ValueError, match="missing \\['city'\\]"):
+        scd2_merge(base_dim(spark), partial, natural_key="customer_id",
+                   tracked=["segment"], as_of_date=AS_OF)

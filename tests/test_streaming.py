@@ -23,6 +23,54 @@ def test_stream_equals_batch(spark, sf_dir):
 
 
 @pytest.mark.timeout(300)
+def test_watermark_evicts_old_window_state(spark, sf_dir, tmp_path):
+    """Drive TWO availableNow micro-batches (early-half file, then
+    late-half file): the 1-hour watermark must drop finalized window
+    state during batch 2 — numRowsRemoved > 0 and final state smaller
+    than the total window count (VERDICT r01 finding 3: update mode
+    actually evicts; complete mode would retain everything)."""
+    import shutil
+    import time
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.schemas import FIXTURES
+    from ecommerce_data_engineering_spark.sources import load
+
+    e = load(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def write_single(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.copy(part, feed / name)
+
+    write_single(e.filter(F.col("ts") < F.lit(mid)), "f1.parquet")
+    time.sleep(1.1)            # file source orders batches by mod time
+    write_single(e.filter(F.col("ts") >= F.lit(mid)), "f2.parquet")
+
+    src = (spark.readStream.schema(FIXTURES["events"])
+           .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    agg = (src.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    q = (agg.writeStream.outputMode("update").format("memory")
+         .queryName("evict_test").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    stats = [p["stateOperators"][0] for p in q.recentProgress
+             if p.get("stateOperators")]
+    assert len([p for p in q.recentProgress if p.get("numInputRows", 0) > 0]) >= 2
+    removed = sum(s.get("numRowsRemoved", 0) for s in stats)
+    assert removed > 0, stats
+    n_windows = (e.groupBy(F.window("ts", "1 hour"), "event_type")
+                 .count().count())
+    assert stats[-1]["numRowsTotal"] < n_windows
+
+
+@pytest.mark.timeout(300)
 def test_stateful_running_totals(spark, sf_dir):
     """applyInPandasWithState running totals must equal the batch
     aggregate after the whole fixture streams through."""
