@@ -30,9 +30,13 @@ def _prev_bench() -> dict | None:
         return None
     try:
         with open(paths[-1]) as f:
-            return json.load(f)
+            data = json.load(f)
     except (OSError, ValueError):
         return None
+    # the driver wraps this script's JSON line under "parsed"
+    if isinstance(data.get("parsed"), dict):
+        return data["parsed"]
+    return data
 
 
 def main() -> None:

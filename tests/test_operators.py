@@ -119,3 +119,32 @@ def test_ann_recall_knobs_dominate_base_variants(spark, sf_dir):
         assert b, base
         for key, cb in b.items():
             assert key in k and k[key] >= cb, (base, key)
+
+
+def test_ann_recall_at_k_vs_exact(spark, sf_dir):
+    """Recall@5 of the ANN variants against the exact cosine baseline:
+    the approximations must find a usable fraction of true neighbors at
+    fixture scale, and each recall knob must not lower recall."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    def topk_sets(name):
+        out = {}
+        for r in REGISTRY[name].fn(spark, sf_dir).collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topk_sets("embedding_cosine_topk")
+
+    def recall(name):
+        approx = topk_sets(name)
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r_lsh, r_mp = recall("embedding_ann_lsh"), recall("embedding_ann_lsh_multiprobe")
+    r_ivf, r_np = recall("embedding_ann_ivf"), recall("embedding_ann_ivf_nprobe")
+    assert r_mp >= r_lsh and r_np >= r_ivf
+    # the fixture embeddings are near-uniform (no cluster structure), the
+    # hardest regime for ANN — multi-probe still multiplies LSH recall
+    # (observed ~5x at sf0.001) and nprobe=2 lifts IVF well above 1/16
+    assert r_mp >= 2 * r_lsh and r_mp >= 0.15, (r_lsh, r_mp)
+    assert r_np >= 0.2, (r_ivf, r_np)
