@@ -46,6 +46,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Fixture generations vary: TIMESTAMP(NANOS) (handled above) vs
+    # timestamp[us] with no zone, which Spark 4 infers as TIMESTAMP_NTZ.
+    # Normalize NTZ → TIMESTAMP so downstream instant functions
+    # (unix_micros, window(), watermarks) resolve; with the session TZ
+    # pinned to UTC above, the cast is value-preserving.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -16,29 +16,13 @@ lets this run forever at firehose scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
 
-from ..schemas import FIXTURES
-
-# events.ts is parquet TIMESTAMP(NANOS): with
-# spark.sql.legacy.parquet.nanosAsLong the scan yields a long that we
-# convert to a microsecond timestamp (same path as sources/readers.py).
-_STREAM_SCHEMA = T.StructType([
-    f if f.name != "ts" else T.StructField("ts", T.LongType())
-    for f in FIXTURES["events"].fields
-])
+from .source import events_stream
 
 
 def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DataFrame: hourly tumbling counts/sums per event_type."""
-    # FileStreamSource wants a directory; the fixture is a single file,
-    # so stream the directory with a glob filter on the events table.
-    src = (
-        spark.readStream.schema(_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    src = events_stream(spark, sf_dir)
     return (
         src.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -83,11 +67,6 @@ def stream_deduplicated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the event id — re-delivered events (at-least-once sources) are
     discarded while their id is inside the watermark horizon; state for
     older ids is evicted.  The streaming twin of dedup_exact."""
-    src = (
-        spark.readStream.schema(_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    src = events_stream(spark, sf_dir)
     return (src.withWatermark("ts", "1 hour")
             .dropDuplicates(["event_id"]))

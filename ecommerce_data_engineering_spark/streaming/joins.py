@@ -11,21 +11,8 @@ join (operators/asof.py) with a bounded lookback window.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
 
-from ..schemas import FIXTURES
-
-_STREAM_SCHEMA = T.StructType([
-    f if f.name != "ts" else T.StructField("ts", T.LongType())
-    for f in FIXTURES["events"].fields
-])
-
-
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (spark.readStream.schema(_STREAM_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir.rstrip("/"))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+from .source import events_stream as _events_stream
 
 
 def stream_click_purchase_join(spark: SparkSession, sf_dir: str,

@@ -1,0 +1,41 @@
+"""Shared streaming scan of the events fixture.
+
+One place owns the fixture-generation quirk: the driver testdata has
+shipped ``events.ts`` both as parquet TIMESTAMP(NANOS) (read as long,
+converted) and as timestamp[us] (read directly).  We sniff the batch
+footer schema once per (session, path) and declare the matching stream
+schema — FileStreamSource itself requires an explicit schema, so the
+sniff is the only footer read and costs one driver-side metadata call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..schemas import FIXTURES
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DataFrame over ``{sf_dir}/events.parquet`` with ``ts``
+    normalized to TIMESTAMP (UTC session), whatever the fixture stored.
+
+    FileStreamSource wants a directory; the fixture is a single file,
+    so stream the directory with a glob filter on the events table.
+    """
+    path = sf_dir.rstrip("/")
+    batch_ts = dict(
+        spark.read.parquet(f"{path}/events.parquet").dtypes).get("ts")
+    if batch_ts == "bigint":  # TIMESTAMP(NANOS) via legacy nanosAsLong
+        schema = T.StructType([
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in FIXTURES["events"].fields])
+        return (spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(path)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    schema = T.StructType([
+        f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+        for f in FIXTURES["events"].fields])
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(path))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-from ..schemas import FIXTURES
+from .source import events_stream
 
 OUTPUT_SCHEMA = T.StructType([
     T.StructField("event_type", T.StringType()),
@@ -50,13 +50,7 @@ def _fold_totals(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
 
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming running (event-count, value-sum) per event_type."""
-    schema = T.StructType([
-        f if f.name != "ts" else T.StructField("ts", T.LongType())
-        for f in FIXTURES["events"].fields
-    ])
-    src = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir.rstrip("/")))
+    src = events_stream(spark, sf_dir)
     return (src.groupBy("event_type")
             .applyInPandasWithState(
                 _fold_totals, OUTPUT_SCHEMA, STATE_SCHEMA,

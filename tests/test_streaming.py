@@ -169,11 +169,15 @@ def test_streaming_dedup_drops_redelivered(spark, sf_dir, tmp_path):
     src_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events_redelivered.parquet")
-    # glob in the operator matches only events.parquet; widen for the test
-    from ecommerce_data_engineering_spark.streaming import events as ev_mod
-    src = (spark.readStream.schema(ev_mod._STREAM_SCHEMA)
-           .parquet(str(src_dir))
-           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    # glob in the operator matches only events.parquet; widen for the
+    # test by streaming the dir with the batch-equivalent schema (ts
+    # declared TIMESTAMP, matching streaming/source.py's micros branch)
+    from pyspark.sql import types as T
+    from ecommerce_data_engineering_spark.schemas import FIXTURES
+    schema = T.StructType([
+        f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+        for f in FIXTURES["events"].fields])
+    src = spark.readStream.schema(schema).parquet(str(src_dir))
     dedup = (src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]))
     q = (dedup.writeStream.outputMode("append").format("memory")
          .queryName("stream_dedup_test").trigger(availableNow=True).start())
