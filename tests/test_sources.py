@@ -73,10 +73,11 @@ def test_fixture_schemas_match_declarations(spark, sf_dir):
         df = load(spark, sf_dir, name)
         got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         want = {f.name: f.dataType.simpleString() for f in schema.fields}
-        # timestamps read as timestamp_ntz under UTC sessions — equivalent
-        norm = lambda t: t.replace("timestamp_ntz", "timestamp")
-        got = {k: norm(v) for k, v in got.items()}
-        want = {k: norm(v) for k, v in want.items()}
+        # load() must normalize whatever the fixture generation stored
+        # (TIMESTAMP(NANOS)-as-long, timestamp[us]-as-NTZ) to plain
+        # TIMESTAMP — instant functions (unix_micros, window(),
+        # watermarks) reject NTZ, so leaking it breaks sessionization
+        assert "timestamp_ntz" not in got.values(), (name, got)
         assert got == want, (name, got, want)
 
 
