@@ -1,0 +1,145 @@
+"""Deterministic sampling / split assignment for training-data curation.
+
+Random sampling (``df.sample``) is non-reproducible across runs and
+engines; training-data pipelines need the opposite: membership decided
+by a pure function of the row's stable id, so re-runs, backfills, and
+two engines agree row-for-row on what is in the sample.  The standard
+trick: hash the id, compare against a threshold that encodes the
+fraction — here the first 8 hex chars of the portable md5
+(functions/hashing.py) compared lexicographically against
+``hex(fraction * 2^32)``.  Both Spark and DuckDB produce identical md5
+hex, so every operator below is oracle-checkable.
+
+Scale: a sample/split is a stateless per-row filter/projection — no
+shuffle, no state, pushes down past column pruning; at 100 TB it runs
+at scan speed and composes with partition pruning untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import SEED_SEP, portable_hash_hex
+
+_HEX_WIDTH = 8          # 32 bits of digest: 1/2^32 fraction resolution
+
+
+def threshold_hex(fraction: float) -> str | None:
+    """``None`` means "keep everything" (fraction >= 1)."""
+    if fraction >= 1.0:
+        return None
+    n = max(int(fraction * (1 << 32)), 0)
+    return format(n, f"0{_HEX_WIDTH}x")
+
+
+def hash_bucket_hex(id_col: Column | str, seed: int = 0) -> Column:
+    """First 8 hex chars of the seeded portable digest of the id."""
+    return F.substring(portable_hash_hex(id_col, seed=seed), 1, _HEX_WIDTH)
+
+
+def sample_predicate(id_col: Column | str, fraction: float,
+                     seed: int = 0) -> Column:
+    """True for rows in the deterministic ``fraction`` sample."""
+    thr = threshold_hex(fraction)
+    if thr is None:
+        return F.lit(True)
+    return hash_bucket_hex(id_col, seed) < F.lit(thr)
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float,
+                         seed: int = 0) -> DataFrame:
+    return df.filter(sample_predicate(id_col, fraction, seed))
+
+
+def split_column(id_col: Column | str, splits: dict[str, float],
+                 seed: int = 0) -> Column:
+    """One split label per row from cumulative hash thresholds.
+
+    ``splits`` maps label → fraction (must sum to ~1; the last split
+    absorbs rounding).  Iteration order of the dict defines the
+    threshold order, so pass it in canonical (train/val/test) order.
+    """
+    labels = list(splits)
+    expr: Column | None = None
+    cum = 0.0
+    bucket = None
+    for label in labels[:-1]:
+        cum += splits[label]
+        thr = threshold_hex(cum)
+        if bucket is None:
+            bucket = hash_bucket_hex(id_col, seed)
+        cond = bucket < F.lit(thr)
+        expr = F.when(cond, F.lit(label)) if expr is None else \
+            expr.when(cond, F.lit(label))
+    if expr is None:                      # single split
+        return F.lit(labels[-1])
+    return expr.otherwise(F.lit(labels[-1]))
+
+
+def assign_splits(df: DataFrame, id_col: str, splits: dict[str, float],
+                  seed: int = 0, out_col: str = "split") -> DataFrame:
+    return df.withColumn(out_col, split_column(id_col, splits, seed))
+
+
+def stratified_threshold(stratum_col: Column | str,
+                         fractions: dict[str, float],
+                         default: float = 1.0) -> Column:
+    """Per-row hex threshold string from the stratum's target fraction
+    (chained CASE — stays a codegen'd expression)."""
+    c = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    expr: Column | None = None
+    for stratum, frac in fractions.items():
+        thr = threshold_hex(frac) or "g"      # 'g' > any hex char: keep all
+        cond = c == F.lit(stratum)
+        expr = F.when(cond, F.lit(thr)) if expr is None else \
+            expr.when(cond, F.lit(thr))
+    dflt = F.lit(threshold_hex(default) or "g")
+    return dflt if expr is None else expr.otherwise(dflt)
+
+
+def stratified_predicate(id_col: Column | str, stratum_col: Column | str,
+                         fractions: dict[str, float], default: float = 1.0,
+                         seed: int = 0) -> Column:
+    """Weighted per-stratum sampling (source mixing) in one stateless
+    pass — no per-stratum scans, no shuffle."""
+    return hash_bucket_hex(id_col, seed) < \
+        stratified_threshold(stratum_col, fractions, default)
+
+
+# --- oracle SQL twins (same thresholds, same digest) -------------------
+
+def sql_bucket(id_expr: str, seed: int = 0) -> str:
+    """DuckDB expression equal to :func:`hash_bucket_hex`."""
+    return (f"substring(md5('{seed}{SEED_SEP}' || "
+            f"CAST({id_expr} AS VARCHAR)), 1, {_HEX_WIDTH})")
+
+
+def sql_sample_predicate(id_expr: str, fraction: float, seed: int = 0) -> str:
+    thr = threshold_hex(fraction)
+    if thr is None:
+        return "TRUE"
+    return f"{sql_bucket(id_expr, seed)} < '{thr}'"
+
+
+def sql_stratified_predicate(id_expr: str, stratum_expr: str,
+                             fractions: dict[str, float],
+                             default: float = 1.0, seed: int = 0) -> str:
+    whens = " ".join(
+        f"WHEN {stratum_expr} = '{s}' THEN '{threshold_hex(f) or 'g'}'"
+        for s, f in fractions.items())
+    case = (f"CASE {whens} ELSE '{threshold_hex(default) or 'g'}' END"
+            if whens else f"'{threshold_hex(default) or 'g'}'")
+    return f"{sql_bucket(id_expr, seed)} < {case}"
+
+
+def sql_split_case(id_expr: str, splits: dict[str, float],
+                   seed: int = 0) -> str:
+    labels = list(splits)
+    if len(labels) == 1:
+        return f"'{labels[-1]}'"
+    parts, cum = [], 0.0
+    for label in labels[:-1]:
+        cum += splits[label]
+        parts.append(f"WHEN {sql_bucket(id_expr, seed)} < "
+                     f"'{threshold_hex(cum)}' THEN '{label}'")
+    return f"CASE {' '.join(parts)} ELSE '{labels[-1]}' END"

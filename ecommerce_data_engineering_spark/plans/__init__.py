@@ -24,6 +24,7 @@ from . import tpch         # noqa: F401  (bench / multi-join queries)
 from . import events       # noqa: F401  (event analytics)
 from . import windows      # noqa: F401  (moving frames, rollup, pivot, percentiles)
 from . import extensions   # noqa: F401  (dedup / similarity / text / multimodal)
+from . import curation     # noqa: F401  (sampling / splits / mixing / histograms)
 from . import contracts    # noqa: F401  (P6 concat, Q1/Q7 contract, S2-S4/M3 roundtrips)
 from . import pipeline_queries  # noqa: F401  (end-to-end e-commerce pipeline)
 

@@ -1,0 +1,136 @@
+"""Training-data curation queries: deterministic sampling, train/val/
+test split assignment, weighted source mixing, token-length histogram.
+
+These are the selection/mixing stages of an LLM data pipeline that sit
+between dedup/quality (plans/extensions.py) and the tokenizer: decide
+*which* documents ship, reproducibly.  All membership is a pure
+function of ``doc_id`` via the portable md5 (operators/sampling.py),
+so every query has an exact DuckDB oracle and re-runs/backfills agree
+row-for-row.
+
+Scale: every stage is a stateless filter/projection + one aggregation;
+nothing shuffles the document bodies, and the sample predicates sit
+directly on the scan (no join against a sampled-id table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import sampling as SP
+from ..operators import text as X
+from ..sources import load
+from .registry import query
+
+# ---------------------------------------------------------------- knobs
+SAMPLE_FRAC = 0.1
+SAMPLE_SEED = 7
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 13
+# target mix: numbered sources get a rate by suffix mod 3 — structural
+# (works for any srcN domain), exercising per-stratum thresholds
+MIX_RATES = (0.2, 0.5, 0.9)
+MIX_SEED = 29
+TOKEN_BUCKET = 32
+
+
+@query(
+    "corpus_deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {SP.sql_sample_predicate('doc_id', SAMPLE_FRAC, SAMPLE_SEED)}
+    """,
+    covers=("EXT-curation",),
+)
+def corpus_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% corpus sample: membership = md5(doc_id) below a
+    hex threshold — engine- and run-independent, unlike df.sample."""
+    docs = load(spark, sf_dir, "documents")
+    return (SP.deterministic_sample(docs, "doc_id", SAMPLE_FRAC, SAMPLE_SEED)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+@query(
+    "corpus_split_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             {SP.sql_split_case('doc_id', SPLITS, SPLIT_SEED)} AS split
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM assigned GROUP BY split, lang
+    """,
+    covers=("EXT-curation",),
+)
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-stable train/val/test assignment (80/10/10) rolled up per
+    split × language.  A document never migrates between splits as the
+    corpus grows — the property that prevents eval contamination."""
+    docs = load(spark, sf_dir, "documents")
+    assigned = SP.assign_splits(docs, "doc_id", SPLITS, SPLIT_SEED)
+    return (assigned.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+def _mix_fractions() -> dict[str, float]:
+    # src0..src19 in the fixtures; rate keyed by numeric suffix mod 3.
+    # Enumerated (not computed in SQL) so Spark and oracle share one map.
+    return {f"src{i}": MIX_RATES[i % len(MIX_RATES)] for i in range(40)}
+
+
+@query(
+    "corpus_source_mix",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE {SP.sql_stratified_predicate(
+               'doc_id', 'source', _mix_fractions(), 1.0, MIX_SEED)})
+             AS n_sampled
+    FROM documents GROUP BY source
+    """,
+    covers=("EXT-curation",),
+)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: per-source keep-rates applied in one
+    stateless pass; output counts document survival per source."""
+    docs = load(spark, sf_dir, "documents")
+    keep = SP.stratified_predicate("doc_id", "source", _mix_fractions(),
+                                   default=1.0, seed=MIX_SEED)
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_if(keep).alias("n_sampled")))
+
+
+@query(
+    "corpus_token_histogram",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST(floor(CAST(n_tokens AS DOUBLE) / {TOKEN_BUCKET}) AS BIGINT)
+             * {TOKEN_BUCKET} AS token_bucket,
+           count(*) AS n_docs
+    FROM toks GROUP BY lang, token_bucket
+    """,
+    covers=("EXT-curation",),
+)
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per language (BPE-ish tokenizer regex,
+    bucket width 32) — the length-distribution check run before
+    packing sequences for training."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+    return (docs
+            .withColumn("token_bucket",
+                        (F.floor(n_tokens / TOKEN_BUCKET)
+                         * TOKEN_BUCKET).cast("long"))
+            .groupBy("lang", "token_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs")))

@@ -148,3 +148,62 @@ def test_ann_recall_at_k_vs_exact(spark, sf_dir):
     # (observed ~5x at sf0.001) and nprobe=2 lifts IVF well above 1/16
     assert r_mp >= 2 * r_lsh and r_mp >= 0.15, (r_lsh, r_mp)
     assert r_np >= 0.2, (r_ivf, r_np)
+
+
+def test_deterministic_sampling_properties(spark, sf_dir):
+    """Sampling/split invariants that matter for training pipelines:
+    membership is a pure function of the id (stable under corpus
+    growth), splits partition the corpus, rates land near target."""
+    from ecommerce_data_engineering_spark.operators import sampling as SP
+    from ecommerce_data_engineering_spark.sources import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.count()
+
+    # threshold encoding edges
+    assert SP.threshold_hex(1.0) is None
+    assert SP.threshold_hex(0.0) == "00000000"
+    assert SP.threshold_hex(0.5) == "80000000"
+
+    # rate lands near target (md5 is uniform; fixture ids are arbitrary)
+    frac = 0.2
+    sampled = SP.deterministic_sample(docs, "doc_id", frac, seed=3)
+    k = sampled.count()
+    assert abs(k / n - frac) < 0.08, (k, n)
+
+    # stability: sampling a subset yields exactly the intersection —
+    # growing the corpus never flips existing membership
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    s_half = {r.doc_id for r in
+              SP.deterministic_sample(half, "doc_id", frac, seed=3).collect()}
+    s_full = {r.doc_id for r in sampled.collect()}
+    assert s_half == {d for d in s_full if d % 2 == 0}
+
+    # splits partition: every row gets exactly one label; fractions sum
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    assigned = SP.assign_splits(docs, "doc_id", splits, seed=5)
+    by = {r.split: r.c for r in
+          assigned.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(by) == set(splits) and sum(by.values()) == n
+    assert abs(by["train"] / n - 0.8) < 0.1
+
+    # a doc_id keeps its split when scored under a different corpus
+    # subset (same function-of-id property as sampling)
+    a_half = {r.doc_id: r.split for r in
+              SP.assign_splits(half, "doc_id", splits, seed=5).collect()}
+    a_full = {r.doc_id: r.split for r in assigned.collect()}
+    assert all(a_full[d] == s for d, s in a_half.items())
+
+    # stratified predicate: per-source rates honored (loose bound)
+    fracs = {"src0": 0.0, "src1": 1.0}
+    keep = SP.stratified_predicate("doc_id", "source", fracs,
+                                   default=0.5, seed=9)
+    got = {r.source: (r.kept, r.total) for r in
+           docs.groupBy("source")
+               .agg(F.count_if(keep).alias("kept"),
+                    F.count("*").alias("total")).collect()}
+    if "src0" in got:
+        assert got["src0"][0] == 0
+    if "src1" in got:
+        assert got["src1"][0] == got["src1"][1]
