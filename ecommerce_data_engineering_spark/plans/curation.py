@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators import packing as PK
 from ..operators import sampling as SP
 from ..operators import text as X
 from ..sources import load
@@ -32,6 +33,9 @@ SPLIT_SEED = 13
 MIX_RATES = (0.2, 0.5, 0.9)
 MIX_SEED = 29
 TOKEN_BUCKET = 32
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+PACK_SEED = 17
 
 
 @query(
@@ -134,3 +138,49 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * TOKEN_BUCKET).cast("long"))
             .groupBy("lang", "token_bucket")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@query(
+    "corpus_sequence_packing",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))
+               AS n_tokens,
+             {PK.sql_shard_of('doc_id', PACK_SHARDS, PACK_SEED)} AS shard
+      FROM documents
+    ), packed AS (
+      SELECT shard, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM toks
+    )
+    SELECT shard,
+           CAST(floor(CAST(start_offset AS DOUBLE) / {PACK_BUDGET}) AS BIGINT)
+             AS bin_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS bin_tokens,
+           count(*) FILTER (WHERE
+             floor(CAST(start_offset + n_tokens - 1 AS DOUBLE) / {PACK_BUDGET})
+               > floor(CAST(start_offset AS DOUBLE) / {PACK_BUDGET}))
+             AS n_spills
+    FROM packed GROUP BY shard, bin_id
+    """,
+    covers=("EXT-curation",),
+)
+def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (budget 2048, 8 hash shards):
+    per (shard, starting bin) document count, token mass, and boundary
+    spills — the sequence-manifest stage before a training run."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+    toks = docs.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
+    packed = PK.pack_sequences(toks, "doc_id", "n_tokens", PACK_BUDGET,
+                               num_shards=PACK_SHARDS, seed=PACK_SEED)
+    return (packed.groupBy("shard", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("bin_tokens"),
+                 F.count_if("spills").alias("n_spills")))

@@ -37,3 +37,38 @@ def write_view(df: DataFrame, name: str) -> DataFrame:
     """Register a BI-serving view (analytics_dag.py:423-440 equivalent)."""
     df.createOrReplaceTempView(name)
     return df
+
+
+def jdbc_write_options(url: str, table: str,
+                       batch_size: int = 10_000,
+                       num_partitions: int | None = None,
+                       isolation_level: str = "READ_COMMITTED",
+                       properties: dict[str, str] | None = None
+                       ) -> dict[str, str]:
+    """Options for the S7 JDBC *sink* boundary (the reference loads
+    Postgres staging/warehouse tables over SQLAlchemy,
+    staging_dag.py:30-33, warehouse_dag.py — here it is config).
+
+    Pure function so the surface is testable without a database:
+    batched inserts (one round-trip per ``batch_size`` rows) and an
+    optional coalesce hint — an uncoordinated 1000-executor write is a
+    connection-storm; capping writer parallelism is the standard guard.
+    """
+    opts = {"url": url, "dbtable": table,
+            "batchsize": str(batch_size),
+            "isolationLevel": isolation_level}
+    if num_partitions is not None:
+        opts["numPartitions"] = str(num_partitions)
+    opts.update(properties or {})
+    return opts
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               mode: str = "append", **kw) -> None:
+    """Execute the JDBC write with :func:`jdbc_write_options`.
+    Untested live (no database in the container); config surface only —
+    the writer twin of ``readers.read_jdbc``."""
+    writer = df.write.format("jdbc").mode(mode)
+    for k, v in jdbc_write_options(url, table, **kw).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -207,3 +207,32 @@ def test_deterministic_sampling_properties(spark, sf_dir):
         assert got["src0"][0] == 0
     if "src1" in got:
         assert got["src1"][0] == got["src1"][1]
+
+
+def test_pack_sequences_chunk_semantics(spark):
+    """Concat-and-chunk packing on a hand-computed frame: bins cut
+    every `budget` tokens in id order within a shard; spill flags mark
+    docs crossing a boundary; total token mass is conserved."""
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.operators.packing import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate([40, 40, 40, 10, 100, 5])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    # one shard → the global order is the id order
+    out = {r.doc_id: r for r in
+           pack_sequences(df, "doc_id", "n_tokens", budget=100,
+                          num_shards=1).collect()}
+    # offsets: 0,40,80,120,130,230
+    assert [out[i].start_offset for i in range(6)] == [0, 40, 80, 120, 130, 230]
+    assert [out[i].bin_id for i in range(6)] == [0, 0, 0, 1, 1, 2]
+    # doc2 spans 80..119 (crosses 100), doc4 spans 130..229 (crosses 200)
+    assert [out[i].spills for i in range(6)] == [False, False, True, False, True, False]
+
+    # sharded: token mass conserved, every shard packs independently
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=100,
+                            num_shards=4)
+    assert packed.agg(F.sum("n_tokens")).collect()[0][0] == 235
+    per_shard_first = (packed.filter(F.col("start_offset") == 0)
+                       .groupBy("shard").count().collect())
+    # each non-empty shard restarts its offsets at zero
+    assert all(r["count"] == 1 for r in per_shard_first)

@@ -102,3 +102,18 @@ def test_catalog_serving_views(spark, sf_dir):
     seg = spark.sql("""
         SELECT sum(customer_count) AS n FROM customer_segmentation""").collect()[0]
     assert seg.n == spark.sql("SELECT count(*) c FROM customer").collect()[0].c
+
+
+def test_jdbc_write_options_surface():
+    """S7 sink config surface (no live DB): batching, writer-parallelism
+    cap, and passthrough properties land in the options dict."""
+    from ecommerce_data_engineering_spark.sources.writers import jdbc_write_options
+
+    opts = jdbc_write_options("jdbc:postgresql://db:5432/wh", "staging.orders",
+                              batch_size=5000, num_partitions=16,
+                              properties={"user": "etl"})
+    assert opts["dbtable"] == "staging.orders"
+    assert opts["batchsize"] == "5000"
+    assert opts["numPartitions"] == "16"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+    assert opts["user"] == "etl"
