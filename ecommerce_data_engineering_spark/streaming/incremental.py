@@ -2,12 +2,13 @@
 (analytics_dag.py:150-163) reproduced as a continuous aggregation.
 
 Pattern: stream the orders feed → event-time watermark → per-day
-aggregate → ``foreachBatch`` keyed upsert (M2) into a parquet rollup
-table.  Each micro-batch folds only the days it touched; the rollup
-table stays queryable between batches.  This is the
-hypertable-continuous-aggregate shape: at 100 TB the orders feed is
-Kafka and the rollup is partitioned by month, but the operator graph
-is identical.
+aggregate → ``foreachBatch`` keyed upsert (M2) into a versioned
+parquet rollup (sources/versioned.py): each micro-batch folds only the
+days it touched and publishes atomically via a commit marker, so the
+rollup stays queryable — and never partially visible — between
+batches.  This is the hypertable-continuous-aggregate shape: at 100 TB
+the orders feed is Kafka and the rollup is partitioned by month, but
+the operator graph is identical.
 """
 
 from __future__ import annotations
@@ -47,33 +48,27 @@ def daily_sales_incremental(spark: SparkSession, sf_dir: str,
     )
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors import AnalysisException
+        from ..sources import versioned as V
 
+        sess = batch_df.sparkSession
         batch = batch_df.cache()
         try:
-            try:
-                existing = batch_df.sparkSession.read.parquet(rollup_path)
-                merged = keyed_upsert(existing, batch, "sales_date")
-            except AnalysisException as e:
-                # ONLY the first-batch path-missing case may fall back to
-                # "nothing to merge into".  Any other read failure (perm,
-                # corruption, transient FS error) must fail the batch so
-                # the checkpoint retries instead of overwriting the
-                # accumulated rollup with one batch's days.
-                cond = (e.getCondition() if hasattr(e, "getCondition")
-                        else "") or str(e)
-                if "PATH_NOT_FOUND" not in cond \
-                        and "Path does not exist" not in str(e):
-                    raise
+            if V.current_version(sess, rollup_path) is None:
+                # first batch: nothing to merge into.  A marker-less
+                # root is unambiguous, so no error-string sniffing —
+                # any read failure on a committed version is a real
+                # failure and fails the batch (checkpoint retries,
+                # accumulated rollup stays intact).
                 merged = batch
-            merged.write.mode("overwrite").parquet(rollup_path + "_next")
-            # swap via overwrite of the serving path.  NOTE: parquet-dir
-            # overwrite is not atomic for concurrent readers — a reader
-            # mid-listing can see a partial table.  The format-free demo
-            # accepts that; production uses a table format (Delta/
-            # Iceberg) or a versioned-dir + pointer swap for atomicity.
-            batch_df.sparkSession.read.parquet(rollup_path + "_next") \
-                .write.mode("overwrite").parquet(rollup_path)
+            else:
+                merged = keyed_upsert(V.read_current(sess, rollup_path),
+                                      batch, "sales_date")
+            # atomic publish: readers resolve the previous committed
+            # snapshot until the new marker exists — no partial-table
+            # window, and crash-before-marker leaves the old rollup
+            # live (sources/versioned.py)
+            V.publish_version(merged, rollup_path)
+            V.vacuum(sess, rollup_path, keep=2)
         finally:
             batch.unpersist()
 
@@ -83,4 +78,5 @@ def daily_sales_incremental(spark: SparkSession, sf_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination(timeout_s)
-    return spark.read.parquet(rollup_path)
+    from ..sources import versioned as V
+    return V.read_current(spark, rollup_path)

@@ -117,3 +117,82 @@ def test_jdbc_write_options_surface():
     assert opts["numPartitions"] == "16"
     assert opts["isolationLevel"] == "READ_COMMITTED"
     assert opts["user"] == "etl"
+
+
+def test_compact_parquet_reduces_files(spark):
+    """Maintenance: a fragmented table (64 tiny files) compacts to the
+    size-derived file count with identical contents."""
+    from ecommerce_data_engineering_spark.sources.maintenance import (
+        compact_parquet, data_file_count, table_bytes)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "frag")
+        df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+        df.repartition(64).write.parquet(path)
+        assert data_file_count(spark, path) == 64
+        before = {r.id: r.v for r in spark.read.parquet(path).collect()}
+
+        total = table_bytes(spark, path)
+        # target sized so the math lands on exactly 2 files
+        n = compact_parquet(spark, path,
+                            target_file_bytes=(total + 1) // 2)
+        assert n == 2 == data_file_count(spark, path)
+        after = {r.id: r.v for r in spark.read.parquet(path).collect()}
+        assert after == before
+
+
+def test_versioned_publish_snapshot_and_vacuum(spark):
+    """Marker-file versioning: publish is atomic (old snapshot stays
+    live until the marker exists), reads resolve the newest committed
+    version, vacuum sweeps old + orphaned versions but never the live
+    one."""
+    from ecommerce_data_engineering_spark.sources import versioned as V
+
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "tbl")
+        assert V.current_version(spark, root) is None
+
+        v1 = V.publish_version(spark.range(10).selectExpr("id AS k"), root)
+        assert v1 == 1
+        assert V.read_current(spark, root).count() == 10
+
+        # stage v2 data WITHOUT a marker (simulated crash mid-publish):
+        spark.range(99).selectExpr("id AS k").write.parquet(
+            os.path.join(root, "v=2"))
+        # readers still resolve v1 — the half-published v2 is invisible
+        assert V.current_version(spark, root) == 1
+        assert V.read_current(spark, root).count() == 10
+
+        # next publish skips the orphaned number (no dir reuse)
+        v3 = V.publish_version(spark.range(25).selectExpr("id AS k"), root)
+        assert v3 == 3
+        assert V.read_current(spark, root).count() == 25
+
+        v4 = V.publish_version(spark.range(7).selectExpr("id AS k"), root)
+        assert v4 == 4
+
+        removed = V.vacuum(spark, root, keep=1)
+        # v1 (old committed), v2 (orphan), v3 (old committed) swept
+        assert sorted(removed) == [1, 2, 3]
+        assert V.read_current(spark, root).count() == 7
+        leftover = {p for p in os.listdir(root) if p.startswith("v=")}
+        assert leftover == {"v=4"}
+
+
+def test_compact_current_versioned(spark):
+    """Atomic compaction path: the live snapshot is rewritten as a new
+    committed version with identical contents."""
+    from ecommerce_data_engineering_spark.sources import versioned as V
+    from ecommerce_data_engineering_spark.sources.maintenance import (
+        compact_current, data_file_count)
+
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "tbl")
+        V.publish_version(
+            spark.range(5000).selectExpr("id", "id % 7 AS g").repartition(32),
+            root)
+        assert data_file_count(spark, os.path.join(root, "v=1")) == 32
+        ver = compact_current(spark, root, target_file_bytes=1 << 40)
+        assert ver == 2
+        assert data_file_count(spark, os.path.join(root, f"v={ver}")) == 1
+        assert V.read_current(spark, root).count() == 5000
