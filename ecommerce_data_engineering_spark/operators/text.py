@@ -153,3 +153,50 @@ def quality_score_pandas_udf():
     # positional form: postponed annotations (module-level
     # `from __future__ import annotations`) break hint inference
     return pandas_udf(_score, "double")
+
+
+def gopher_quality(df: DataFrame, text_col: str, id_col: str,
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_dup_trigram_frac: float = 0.30) -> DataFrame:
+    """Gopher-style document quality rules (published pretraining
+    filters: word-count bounds, mean word length band, repeated-trigram
+    fraction) as one stateless Catalyst projection — per doc the rule
+    inputs plus the final ``passes`` verdict.
+
+    Everything is array expressions over the tokenized text (no UDF,
+    no shuffle): dup_trigram_frac = 1 − |distinct trigrams|/|trigrams|,
+    the standard repetition signal; short/long docs and outlier word
+    lengths are the classic gibberish/boilerplate cuts.
+    """
+    from ..functions.rounding import pround
+
+    base = df.select(F.col(id_col), _WORDS(F.col(text_col)).alias("_w"))
+    n_words = F.size(F.col("_w"))
+    mean_wl = (F.aggregate("_w", F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.length(x)).cast("double")
+               / F.when(n_words > 0, n_words))
+    tg = F.when(n_words >= 3, F.expr(
+        "transform(sequence(0, size(_w) - 3),"
+        " i -> concat_ws(' ', _w[i], _w[i+1], _w[i+2]))"
+    )).otherwise(F.expr("CAST(array() AS array<string>)"))
+    staged = base.select(F.col(id_col), n_words.alias("_n"),
+                         mean_wl.alias("_mwl"), tg.alias("_tg"))
+    n_tg = F.size("_tg")
+    dup_frac = F.when(
+        n_tg > 0,
+        F.lit(1.0) - F.size(F.array_distinct("_tg")).cast("double") / n_tg
+    ).otherwise(F.lit(0.0))
+    mean_r = pround(F.col("_mwl"), 4)
+    dup_r = pround(dup_frac, 4)
+    passes = ((F.col("_n") >= min_words) & (F.col("_n") <= max_words)
+              & (mean_r >= min_mean_word_len) & (mean_r <= max_mean_word_len)
+              & (dup_r <= max_dup_trigram_frac))
+    return staged.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_words"),
+        mean_r.alias("mean_word_len"),
+        dup_r.alias("dup_trigram_frac"),
+        F.coalesce(passes, F.lit(False)).alias("passes"),
+    )

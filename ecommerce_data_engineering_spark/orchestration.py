@@ -102,47 +102,107 @@ class Dag:
             raise ValueError(f"{self.dag_id}: cycle detected")
         return out
 
-    def run(self, past: Mapping[str, TaskRun] | None = None
-            ) -> dict[str, TaskRun]:
+    def _static_state(self, t: Task, runs: Mapping[str, TaskRun],
+                      past: Mapping[str, TaskRun] | None) -> State | None:
+        """Skip/block resolution without executing; None = runnable."""
+        up_states = {runs[u].state for u in t.upstream}
+        if State.FAILED in up_states or State.UPSTREAM_FAILED in up_states:
+            return State.UPSTREAM_FAILED
+        if State.SKIPPED in up_states:       # skip cascades, like Airflow
+            return State.SKIPPED
+        if t.depends_on_past and past is not None:
+            prev = past.get(t.name)
+            if prev is not None and prev.state not in (State.SUCCESS,
+                                                       State.SOFT_FAILED):
+                return State.SKIPPED
+        return None
+
+    def _execute(self, t: Task, results: dict[str, Any]) -> TaskRun:
+        run = TaskRun(state=State.FAILED)
+        for attempt in range(1 + t.retries):
+            run.attempts = attempt + 1
+            if attempt:
+                self.sleep(t.retry_delay)
+            try:
+                run.result = t.fn(dict(results))
+                run.state = State.SUCCESS
+                run.error = None
+                break
+            except Exception as e:           # noqa: BLE001 - retry boundary
+                run.error = e
+        if run.state is not State.SUCCESS and t.soft_fail:
+            run.state = State.SOFT_FAILED
+            run.result = None
+        return run
+
+    def run(self, past: Mapping[str, TaskRun] | None = None,
+            max_workers: int = 1) -> dict[str, TaskRun]:
         """Execute one logical run.  ``past`` is the previous logical
         date's TaskRuns, consulted only by ``depends_on_past`` tasks
         (reference sets it False everywhere; supported because it is
-        part of the scheduling contract surface)."""
+        part of the scheduling contract surface).
+
+        ``max_workers > 1`` runs independent branches concurrently
+        (Airflow LocalExecutor parity).  Spark's driver schedules
+        actions from multiple threads fine, and overlapping branches
+        keeps a large cluster busy while one branch waits on a shuffle.
+        States are identical to the sequential path — the dependency
+        graph, not submission order, decides them."""
+        if max_workers > 1:
+            return self._run_parallel(past, max_workers)
         runs: dict[str, TaskRun] = {}
         results: dict[str, Any] = {}
         for name in self.topo_order():
             t = self._tasks[name]
-            up_states = {runs[u].state for u in t.upstream}
-            if State.FAILED in up_states or State.UPSTREAM_FAILED in up_states:
-                runs[name] = TaskRun(state=State.UPSTREAM_FAILED)
+            static = self._static_state(t, runs, past)
+            if static is not None:
+                runs[name] = TaskRun(state=static)
                 continue
-            if State.SKIPPED in up_states:   # skip cascades, like Airflow
-                runs[name] = TaskRun(state=State.SKIPPED)
-                continue
-            if t.depends_on_past and past is not None:
-                prev = past.get(name)
-                if prev is not None and prev.state not in (State.SUCCESS,
-                                                           State.SOFT_FAILED):
-                    runs[name] = TaskRun(state=State.SKIPPED)
-                    continue
-            run = TaskRun(state=State.FAILED)
-            for attempt in range(1 + t.retries):
-                run.attempts = attempt + 1
-                if attempt:
-                    self.sleep(t.retry_delay)
-                try:
-                    run.result = t.fn(dict(results))
-                    run.state = State.SUCCESS
-                    run.error = None
-                    break
-                except Exception as e:       # noqa: BLE001 - retry boundary
-                    run.error = e
-            if run.state is not State.SUCCESS and t.soft_fail:
-                run.state = State.SOFT_FAILED
-                run.result = None
+            run = self._execute(t, results)
             if run.state in (State.SUCCESS, State.SOFT_FAILED):
                 results[name] = run.result
             runs[name] = run
+        return runs
+
+    def _run_parallel(self, past: Mapping[str, TaskRun] | None,
+                      max_workers: int) -> dict[str, TaskRun]:
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        order = self.topo_order()
+        runs: dict[str, TaskRun] = {}
+        results: dict[str, Any] = {}
+        pending = set(order)
+        futures: dict[Any, str] = {}
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            while pending or futures:
+                progressed = True
+                while progressed:            # settle all statically-decided
+                    progressed = False
+                    for name in [n for n in order if n in pending]:
+                        t = self._tasks[name]
+                        if not all(u in runs for u in t.upstream):
+                            continue
+                        static = self._static_state(t, runs, past)
+                        if static is not None:
+                            runs[name] = TaskRun(state=static)
+                            pending.discard(name)
+                            progressed = True
+                for name in [n for n in order if n in pending]:
+                    t = self._tasks[name]
+                    if all(u in runs for u in t.upstream) \
+                            and name not in futures.values():
+                        fut = pool.submit(self._execute, t, dict(results))
+                        futures[fut] = name
+                        pending.discard(name)
+                if not futures:
+                    break
+                done, _ = wait(futures, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    name = futures.pop(fut)
+                    run = fut.result()
+                    if run.state in (State.SUCCESS, State.SOFT_FAILED):
+                        results[name] = run.result
+                    runs[name] = run
         return runs
 
     def results(self, runs: Mapping[str, TaskRun]) -> dict[str, Any]:

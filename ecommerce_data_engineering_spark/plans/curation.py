@@ -142,6 +142,7 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_sequence_packing",
+    bench=True,
     oracle=rf"""
     WITH toks AS (
       SELECT doc_id,
@@ -184,3 +185,48 @@ def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("bin_tokens"),
                  F.count_if("spills").alias("n_spills")))
+
+
+@query(
+    "corpus_gopher_rules",
+    bench=True,
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), staged AS (
+      SELECT doc_id, len(w) AS n,
+             CASE WHEN len(w) > 0 THEN
+               floor(CAST(list_aggregate(list_transform(w, x -> length(x)),
+                                         'sum') AS DOUBLE) / len(w)
+                     * 10000 + 0.5) / 10000 END AS mwl,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END AS tg
+      FROM words
+    ), scored AS (
+      SELECT doc_id, n, mwl,
+             CASE WHEN len(tg) > 0 THEN
+               floor((1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg))
+                     * 10000 + 0.5) / 10000
+             ELSE 0.0 END AS dup
+      FROM staged
+    )
+    SELECT doc_id, n AS n_words, mwl AS mean_word_len,
+           dup AS dup_trigram_frac,
+           COALESCE(n >= 50 AND n <= 100000
+                    AND mwl >= 3.0 AND mwl <= 10.0
+                    AND dup <= 0.30, FALSE) AS passes
+    FROM scored
+    """,
+    covers=("EXT-curation", "EXT-text"),
+)
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates per document (word-count bounds, mean
+    word length band, repeated-trigram fraction) — the published
+    pretraining filter set, as one stateless projection."""
+    docs = load(spark, sf_dir, "documents")
+    return X.gopher_quality(docs, "text", "doc_id")

@@ -236,3 +236,22 @@ def test_pack_sequences_chunk_semantics(spark):
                        .groupBy("shard").count().collect())
     # each non-empty shard restarts its offsets at zero
     assert all(r["count"] == 1 for r in per_shard_first)
+
+
+def test_gopher_quality_edge_cases(spark):
+    """Quality rules on degenerate docs: empty text, <3 words, pure
+    repetition — no nulls leak into `passes`, dup fraction behaves."""
+    from ecommerce_data_engineering_spark.operators.text import gopher_quality
+
+    rows = [(1, ""), (2, "one two"), (3, ("spam ham eggs " * 40).strip()),
+            (4, " ".join(f"w{i}" for i in range(120)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           gopher_quality(df, "text", "doc_id").collect()}
+    assert out[1].n_words == 0 and out[1].passes is False
+    assert out[2].n_words == 2 and out[2].dup_trigram_frac == 0.0
+    assert out[2].passes is False                       # below min_words
+    # 120 repeated trigrams, 3 distinct → dup fraction near 1; fails
+    assert out[3].dup_trigram_frac > 0.9 and out[3].passes is False
+    # 120 distinct words, mean length in band → passes
+    assert out[4].dup_trigram_frac == 0.0 and out[4].passes is True

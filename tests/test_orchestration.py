@@ -160,3 +160,47 @@ def test_pipeline_dag_matches_run_pipeline(spark):
     lhs = got["daily_sales"].agg(F.sum("total_revenue")).collect()[0][0]
     rhs = expected["daily_sales"].agg(F.sum("total_revenue")).collect()[0][0]
     assert lhs == rhs
+
+
+def test_parallel_run_overlaps_and_matches_sequential_states():
+    """max_workers>1: independent branches actually overlap (wall time
+    well under the serial sum) and failure semantics are identical to
+    the sequential executor."""
+    import time as _time
+
+    def build():
+        d = Dag("par", default_retries=0)
+        d.task("a", lambda r: (_time.sleep(0.4), "a")[1])
+        d.task("b", lambda r: (_time.sleep(0.4), "b")[1])
+        d.task("boom", lambda r: 1 / 0)
+        d.task("joined", lambda r: r["a"] + r["b"], upstream=("a", "b"))
+        d.task("blocked", _nop, upstream=("boom",))
+        return d
+
+    t0 = _time.perf_counter()
+    par = build().run(max_workers=4)
+    elapsed = _time.perf_counter() - t0
+    seq = build().run()
+    assert {n: r.state for n, r in par.items()} == \
+           {n: r.state for n, r in seq.items()}
+    assert par["joined"].result == "ab"
+    assert par["blocked"].state is State.UPSTREAM_FAILED
+    # the two 0.4 s sleeps overlapped
+    assert elapsed < 0.75, elapsed
+
+
+def test_parallel_pipeline_dag_matches(spark):
+    """The full e-commerce DAG under the concurrent executor produces
+    the same terminal states as sequential."""
+    from ecommerce_data_engineering_spark.pipeline import AS_OF_DATE
+    from ecommerce_data_engineering_spark.sources.synthetic import (
+        generate_ecommerce,
+    )
+
+    raw = generate_ecommerce(spark, scale=0.02)
+    runs = pipeline_dag(spark, raw, as_of=AS_OF_DATE).run(max_workers=4)
+    bad = {n: r.state for n, r in runs.items()
+           if r.state not in (State.SUCCESS, State.SOFT_FAILED)}
+    assert not bad, bad
+    assert runs["create_business_summary_views"].result[
+        "top_products"].count() > 0
