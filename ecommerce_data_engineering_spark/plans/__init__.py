@@ -67,17 +67,16 @@ _PRIORITY = [
     "events_session_window_native",  # EXT-session
     # --- tier 4: window/rollup/pivot/sketch extensions ---
     "rolling_7day_revenue",
-    "customer_value_quartiles",
     "revenue_rollup",
     "event_type_pivot",
     "approx_distinct_users",
-    # --- tier 5: dedup family ---
+    # --- tier 5: dedup family (ngram-jaccard / embedding-cosine
+    #     variants sit past the window; the curation funnel below
+    #     re-exercises EXT-dedup inside it) ---
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "dedup_clusters",
-    "dedup_embedding_cosine",
     # --- tier 6: similarity search ---
     "embedding_cosine_topk",
     "embedding_ann_lsh",
@@ -86,11 +85,15 @@ _PRIORITY = [
     "text_language_id",
     "text_quality_scores",
     "text_token_counts",
-    "text_fingerprints",
     # --- tier 8: multimodal (real zero-dep codecs) ---
     "multimodal_decode",
     "multimodal_audio_decode",
     "multimodal_frame_sample",
+    # --- tier 9: curation (sampling / splits / quality / packing) ---
+    "corpus_curation_funnel",        # EXT-curation EXT-dedup EXT-text
+    "corpus_gopher_rules",
+    "corpus_sequence_packing",
+    "corpus_split_assignment",
     # ---------------- end of driver window (50) ----------------
     # tier 9: redundant-but-valuable shapes, most valuable first, in
     # case the verification budget is larger than observed.

@@ -230,3 +230,83 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining filter set, as one stateless projection."""
     docs = load(spark, sf_dir, "documents")
     return X.gopher_quality(docs, "text", "doc_id")
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle=rf"""
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents GROUP BY md5(lower(trim(text)))
+    ), words AS (
+      SELECT d.doc_id, d.text,
+             list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    ), gated AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, len(w) AS n,
+               CASE WHEN len(w) > 0 THEN
+                 floor(CAST(list_aggregate(list_transform(w, x -> length(x)),
+                                           'sum') AS DOUBLE) / len(w)
+                       * 10000 + 0.5) / 10000 END AS mwl,
+               CASE WHEN len(w) >= 3 THEN
+                 floor((1.0 - CAST(len(list_distinct(
+                   list_transform(generate_series(1, len(w) - 2),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                 )) AS DOUBLE) / (len(w) - 2)) * 10000 + 0.5) / 10000
+               ELSE 0.0 END AS dup
+        FROM words)
+      WHERE COALESCE(n >= 50 AND n <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+                     AND dup <= 0.30, FALSE)
+    ), train AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))
+               AS n_tokens,
+             {PK.sql_shard_of('doc_id', PACK_SHARDS, PACK_SEED)} AS shard
+      FROM gated
+      WHERE {SP.sql_split_case('doc_id', SPLITS, SPLIT_SEED)} = 'train'
+    ), packed AS (
+      SELECT shard, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM train
+    )
+    SELECT shard,
+           CAST(floor(CAST(start_offset AS DOUBLE) / {PACK_BUDGET}) AS BIGINT)
+             AS bin_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS bin_tokens
+    FROM packed GROUP BY shard, bin_id
+    """,
+    covers=("EXT-curation", "EXT-dedup", "EXT-text"),
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole select-what-to-train-on funnel in one declarative
+    plan: exact dedup keep-list → Gopher quality gates → hash-stable
+    train-split membership → sequence packing of the survivors.  Every
+    stage is the individually-tested operator; composition stays
+    shuffle-minimal (dedup's groupBy, then stateless filters, then the
+    packing window's single exchange)."""
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    keepers = (D.exact_dedup(docs, "text", "doc_id")
+               .select(F.col("keeper_id").alias("doc_id")))
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    gated = kept.join(
+        X.gopher_quality(kept, "text", "doc_id")
+         .filter(F.col("passes")).select("doc_id"),
+        "doc_id", "left_semi")
+    train = (SP.assign_splits(gated, "doc_id", SPLITS, SPLIT_SEED)
+             .filter(F.col("split") == "train"))
+    n_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+    toks = train.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
+    packed = PK.pack_sequences(toks, "doc_id", "n_tokens", PACK_BUDGET,
+                               num_shards=PACK_SHARDS, seed=PACK_SEED)
+    return (packed.groupBy("shard", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("bin_tokens")))

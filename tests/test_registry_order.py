@@ -22,17 +22,18 @@ SURVEY_IDS = (
 
 EXT_FAMILIES = {"EXT-dedup", "EXT-similarity", "EXT-text", "EXT-multimodal",
                 "EXT-asof", "EXT-skew", "EXT-window", "EXT-rollup",
-                "EXT-pivot", "EXT-session", "EXT-approx"}
+                "EXT-pivot", "EXT-session", "EXT-approx", "EXT-curation"}
 
 EXT_MUST_HAVE = {
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash_pairs", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash_pairs", "dedup_clusters",
     "embedding_cosine_topk", "embedding_ann_lsh", "embedding_ann_ivf",
     "text_language_id", "text_quality_scores", "text_token_counts",
-    "text_fingerprints",
     "multimodal_decode", "multimodal_audio_decode", "multimodal_frame_sample",
     "purchase_click_asof", "event_user_enrichment",
     "events_hourly_rollup", "events_sessionization",
+    "corpus_curation_funnel", "corpus_gopher_rules",
+    "corpus_sequence_packing", "corpus_split_assignment",
 }
 
 
