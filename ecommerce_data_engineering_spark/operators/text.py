@@ -169,6 +169,14 @@ def gopher_quality(df: DataFrame, text_col: str, id_col: str,
     no shuffle): dup_trigram_frac = 1 − |distinct trigrams|/|trigrams|,
     the standard repetition signal; short/long docs and outlier word
     lengths are the classic gibberish/boilerplate cuts.
+
+    Consumer note: filtering directly on the returned columns lets the
+    optimizer push the predicate below the staged projections, inlining
+    the tokenization arrays into the filter expression — higher-order
+    functions run interpreted with no subexpression reuse, so per-row
+    cost turns quadratic in document length.  ``persist()`` this frame
+    (4 scalars/doc) before filtering, as plans/curation.py's funnel
+    does — measured 22 s → 1.5 s at sf0.1.
     """
     from ..functions.rounding import pround
 

@@ -234,6 +234,7 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_curation_funnel",
+    bench=True,
     oracle=rf"""
     WITH keepers AS (
       SELECT min(doc_id) AS doc_id
@@ -296,9 +297,16 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = (D.exact_dedup(docs, "text", "doc_id")
                .select(F.col("keeper_id").alias("doc_id")))
     kept = docs.join(keepers, "doc_id", "left_semi")
+    # persist the tiny per-doc stats frame: without the barrier,
+    # filter(passes) is pushed below the operator's staged projections
+    # and the tokenization arrays re-inline into the predicate —
+    # interpreted higher-order functions get no subexpression reuse, so
+    # the per-row cost turns quadratic in document length (measured
+    # 3.2 s → 22 s at sf0.1).  The cached frame is 4 scalars/doc —
+    # linear and droppable at any corpus size.
+    stats = X.gopher_quality(kept, "text", "doc_id").persist()
     gated = kept.join(
-        X.gopher_quality(kept, "text", "doc_id")
-         .filter(F.col("passes")).select("doc_id"),
+        stats.filter(F.col("passes")).select("doc_id"),
         "doc_id", "left_semi")
     train = (SP.assign_splits(gated, "doc_id", SPLITS, SPLIT_SEED)
              .filter(F.col("split") == "train"))
