@@ -165,3 +165,38 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= nprobe)
             .drop("c_vec", "__rn"))
+
+
+def int8_quantize_stats(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit: scale =
+    max|x|/127, q = round-half-up(x/scale), and the reconstruction
+    error stats (max abs error, MSE) a storage-compression rollout
+    needs before switching an embedding store to int8.
+
+    One stateless projection — array expressions only, no shuffle, no
+    UDF; at 100 TB it runs at scan speed.  Rounding uses the portable
+    floor(x+0.5) form so the DuckDB oracle reproduces every bit.
+    """
+    x = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    staged = df.select(F.col(id_col), x.alias("_x"))
+    scale = (F.aggregate("_x", F.lit(0.0),
+                         lambda acc, e: F.greatest(acc, F.abs(e)))
+             / F.lit(127.0))
+    staged = staged.withColumn("_scale", scale)
+    err = F.when(
+        F.col("_scale") > 0,
+        F.transform("_x", lambda e: F.abs(
+            F.floor(e / F.col("_scale") + F.lit(0.5)) * F.col("_scale") - e))
+    ).otherwise(F.transform("_x", lambda e: F.lit(0.0)))
+    staged = staged.withColumn("_err", err)
+    from ..functions.rounding import pround
+    n = F.size("_x")
+    return staged.select(
+        F.col(id_col),
+        pround(F.col("_scale"), 8).alias("scale"),
+        pround(F.aggregate("_err", F.lit(0.0),
+                           lambda acc, e: F.greatest(acc, e)), 8)
+            .alias("max_abs_err"),
+        pround(F.aggregate("_err", F.lit(0.0),
+                           lambda acc, e: acc + e * e) / n, 10).alias("mse"),
+    )

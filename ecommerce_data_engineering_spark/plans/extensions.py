@@ -1053,3 +1053,35 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by vector similarity instead of lexical overlap."""
     pairs = dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
     return D.connected_components(pairs)
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH vx AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM vx GROUP BY vec_id
+    ), e AS (
+      SELECT v.vec_id, s.scale,
+             CASE WHEN s.scale > 0
+               THEN abs(floor(v.x / s.scale + 0.5) * s.scale - v.x)
+               ELSE 0.0 END AS err
+      FROM vx v JOIN s ON v.vec_id = s.vec_id
+    )
+    SELECT vec_id,
+           floor(scale * 1e8 + 0.5) / 1e8 AS scale,
+           floor(max(err) * 1e8 + 0.5) / 1e8 AS max_abs_err,
+           floor(sum(err * err) / count(*) * 1e10 + 0.5) / 1e10 AS mse
+    FROM e GROUP BY vec_id, scale
+    """,
+    covers=("EXT-similarity", "EXT-curation"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit over the embedding store
+    (operators/similarity.int8_quantize_stats): per-vector scale and
+    reconstruction error — the check run before compressing an
+    embedding column 4x for the 100 TB store."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.int8_quantize_stats(emb, "embedding", "vec_id")
