@@ -255,3 +255,21 @@ def test_gopher_quality_edge_cases(spark):
     assert out[3].dup_trigram_frac > 0.9 and out[3].passes is False
     # 120 distinct words, mean length in band → passes
     assert out[4].dup_trigram_frac == 0.0 and out[4].passes is True
+
+
+def test_int8_quantize_stats_edges(spark):
+    """Quantization audit edges: zero vector yields zero scale/error;
+    a known vector reproduces hand-computed scale and max error."""
+    from ecommerce_data_engineering_spark.operators.similarity import (
+        int8_quantize_stats)
+
+    rows = [(1, [0.0, 0.0, 0.0]), (2, [1.27, -0.635, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           int8_quantize_stats(df, "embedding", "vec_id").collect()}
+    assert out[1].scale == 0.0 and out[1].max_abs_err == 0.0 and out[1].mse == 0.0
+    # scale = 1.27/127 = 0.01; -0.635 sits on a half step and the
+    # portable floor(x+0.5) rounds it toward +inf → err = scale/2
+    assert out[2].scale == 0.01
+    assert out[2].max_abs_err == 0.005
+    assert out[2].mse == round((0.005 ** 2) / 3, 10)
