@@ -9,7 +9,8 @@ from ecommerce_data_engineering_spark.plans import REGISTRY
 KEY = ["pricing_summary", "revenue_by_nation", "top_products",
        "campaign_attribution_scalable", "dedup_minhash_lsh",
        "embedding_cosine_topk", "customer_metrics", "fact_orders_upsert",
-       "corpus_deterministic_sample", "corpus_sequence_packing"]
+       "corpus_deterministic_sample", "corpus_sequence_packing",
+       "corpus_curation_funnel"]
 
 
 def main():
