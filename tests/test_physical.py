@@ -131,3 +131,46 @@ def test_rollup_join_broadcasts_via_aqe_without_hint(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan, name
         assert "BroadcastHashJoin" in plan, f"{name}: AQE did not broadcast"
+
+
+def test_curation_sample_is_pushed_filter_with_pruned_scan(spark, sf_dir):
+    """Deterministic sampling must stay a bare filter on the scan: no
+    Exchange, and the text column pruned out of ReadSchema — the shape
+    that composes with partition pruning at 100 TB."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    df = REGISTRY["corpus_deterministic_sample"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "text" not in plan.split("ReadSchema")[-1].split("\n")[0]
+
+
+def test_sequence_packing_single_exchange(spark, sf_dir):
+    """Packing's plan budget is exactly one shuffle: the shard-key
+    Exchange feeding the window, with the final aggregate reusing that
+    partitioning (grouping keys are a superset of the shard key)."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    df = REGISTRY["corpus_sequence_packing"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]   # AQE echoes both plans
+    n_exchanges = (final.count("Exchange hashpartitioning")
+                   + final.count("Exchange rangepartitioning")
+                   + final.count("Exchange SinglePartition"))
+    assert n_exchanges == 1, final[:1500]
+
+
+def test_curation_funnel_filter_reads_cached_stats(spark, sf_dir):
+    """The quality-gate filter must scan the persisted stats frame
+    (InMemoryTableScan), not re-inline the tokenization arrays into a
+    pushed-down predicate — the quadratic-blowup guard (22 s → 1.5 s
+    measured at sf0.1)."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    df = REGISTRY["corpus_curation_funnel"].fn(spark, sf_dir)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.clearCache()
