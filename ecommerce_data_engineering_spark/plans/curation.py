@@ -63,7 +63,8 @@ def corpus_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              {SP.sql_split_case('doc_id', SPLITS, SPLIT_SEED)} AS split
       FROM documents
     )
-    SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY split, lang
     """,
     covers=("EXT-curation",),
@@ -162,7 +163,7 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(CAST(start_offset AS DOUBLE) / {PACK_BUDGET}) AS BIGINT)
              AS bin_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS bin_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
            count(*) FILTER (WHERE
              floor(CAST(start_offset + n_tokens - 1 AS DOUBLE) / {PACK_BUDGET})
                > floor(CAST(start_offset AS DOUBLE) / {PACK_BUDGET}))
@@ -279,7 +280,7 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(CAST(start_offset AS DOUBLE) / {PACK_BUDGET}) AS BIGINT)
              AS bin_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS bin_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
     FROM packed GROUP BY shard, bin_id
     """,
     covers=("EXT-curation", "EXT-dedup", "EXT-text"),

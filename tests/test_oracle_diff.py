@@ -29,6 +29,28 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     assert df.count() >= 0 and len(df.schema) > 0
 
 
+def test_harness_catches_hugeint_drift(spark, sf_dir):
+    """Red-first reproduction of the round-2 driver failure: DuckDB
+    sum(BIGINT) returns HUGEINT (→ float64 in pandas) while Spark emits
+    int64.  Values are identical, so the old value-normalizing compare
+    passed locally while the driver's raw-cell hash failed.  The
+    type-strict compare must flag the uncast oracle and accept the
+    CAST-ed one."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.sources import load
+
+    spark_df = load(spark, sf_dir, "documents").agg(
+        F.sum("n_chars").alias("total_chars"))
+    uncast = duckdb_run(
+        "SELECT sum(n_chars) AS total_chars FROM documents", sf_dir)
+    cast = duckdb_run(
+        "SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents",
+        sf_dir)
+    assert any("dtype drift" in p for p in compare(spark_df, uncast, "drift"))
+    assert not compare(spark_df, cast, "cast")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
     df = e.entry(spark)
