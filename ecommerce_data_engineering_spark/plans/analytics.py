@@ -91,9 +91,11 @@ def customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     as_of = F.lit(AS_OF_DATE).cast("date")
-    # fact-side pre-aggregation, then broadcast onto the dim (same
-    # two-phase shape as product_metrics; the orders table never
-    # travels through the join)
+    # fact-side pre-aggregation before the join: the orders table never
+    # travels, only one row per customer-with-orders does.  No explicit
+    # broadcast hint — o_agg is customer-grain, so it scales with the
+    # probe side; both inputs are customer-keyed and AQE picks
+    # broadcast only while the aggregate actually fits.
     o_agg = (
         o.groupBy("o_custkey")
         .agg(
@@ -109,7 +111,7 @@ def customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days_since = F.datediff(as_of, F.col("_last"))
     return (
-        c.join(F.broadcast(o_agg), c.c_custkey == o_agg.o_custkey, "left")
+        c.join(o_agg, c.c_custkey == o_agg.o_custkey, "left")
         .select(
             F.col("c_custkey").alias("customer_id"),
             F.col("c_mktsegment").alias("customer_segment"),

@@ -117,13 +117,15 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
 
 
 def test_rollup_join_broadcasts_via_aqe_without_hint(spark, sf_dir):
-    """The part-grain rollup joins in product_metrics / top_products
-    carry NO broadcast hint (a hint would force an oversized broadcast
-    at 100x part cardinality — VERDICT r01 finding 4); AQE must still
-    pick a broadcast join at fixture scale from the runtime size."""
+    """Rollups at the grain of their probe side (part-grain in
+    product_metrics / top_products, customer-grain in customer_metrics)
+    carry NO broadcast hint — a hint would force an oversized broadcast
+    at 100x key cardinality, overriding AQE's size guard (VERDICT r01
+    finding 4, r02 finding 3); AQE must still pick a broadcast join at
+    fixture scale from the runtime size."""
     from ecommerce_data_engineering_spark.plans import REGISTRY
 
-    for name in ("product_metrics", "top_products"):
+    for name in ("product_metrics", "top_products", "customer_metrics"):
         df = REGISTRY[name].fn(spark, sf_dir)
         logical = df._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in logical, f"{name} still hints broadcast"
