@@ -171,12 +171,16 @@ def gopher_quality(df: DataFrame, text_col: str, id_col: str,
     lengths are the classic gibberish/boilerplate cuts.
 
     Consumer note: filtering directly on the returned columns lets the
-    optimizer push the predicate below the staged projections, inlining
-    the tokenization arrays into the filter expression — higher-order
-    functions run interpreted with no subexpression reuse, so per-row
-    cost turns quadratic in document length.  ``persist()`` this frame
-    (4 scalars/doc) before filtering, as plans/curation.py's funnel
-    does — measured 22 s → 1.5 s at sf0.1.
+    optimizer substitute the staged aliases into the pruned predicate
+    (PushDownPredicate/CollapseProject have no cost guard once only
+    ``passes`` survives column pruning), inlining the tokenization
+    ``split`` ~24x into one expression — interpreted higher-order
+    functions get no subexpression reuse, so the filter runs ~7x the
+    projection cost (measured 22 s vs 3.5 s at sf0.1).  To *filter* on
+    the verdict, use :func:`gopher_gate` instead — a single-expression
+    predicate with the words array lambda-bound once, which is safe
+    (and beneficial) to push all the way into the scan.  This frame is
+    for when the per-rule diagnostics themselves are the output.
     """
     from ..functions.rounding import pround
 
@@ -208,3 +212,47 @@ def gopher_quality(df: DataFrame, text_col: str, id_col: str,
         dup_r.alias("dup_trigram_frac"),
         F.coalesce(passes, F.lit(False)).alias("passes"),
     )
+
+
+def gopher_gate(text_col: str, min_words: int = 50, max_words: int = 100_000,
+                min_mean_word_len: float = 3.0,
+                max_mean_word_len: float = 10.0,
+                max_dup_trigram_frac: float = 0.30) -> Column:
+    """The :func:`gopher_quality` ``passes`` verdict as ONE boolean
+    expression, built for use directly in ``df.filter(...)``.
+
+    The trick: ``exists(array(<words>), w -> <rules>)`` binds the
+    tokenized words array to the lambda variable ``w`` exactly once,
+    so however Catalyst collapses / pushes the predicate, the
+    ``split`` runs once per row (vs ~24x when the staged
+    gopher_quality aliases are substituted into a pruned filter — the
+    r2 funnel needed a persist() barrier against that; this needs
+    none).  Deterministic, so it pushes through joins down to the
+    scan — at 100 TB the gate runs inside the file scan with no extra
+    join, shuffle, or pinned cache.
+
+    Exactly replicates gopher_quality's semantics, including the
+    4-digit deterministic rounding of the mean-word-length and
+    dup-trigram fractions and NULL→False coalescing.
+    """
+    c = f"`{text_col}`"
+    mean_r = ("floor(CAST(aggregate(w, CAST(0 AS BIGINT),"
+              " (a, x) -> a + length(x)) AS DOUBLE)"
+              " / nullif(size(w), 0) * 10000 + 0.5) / 10000")
+    # size(tg) == size(w)-2 for size(w)>=3, so the trigram array is
+    # materialized once (inside array_distinct) per row
+    dup_r = ("CASE WHEN size(w) >= 3 THEN"
+             " floor((1.0 - CAST(size(array_distinct("
+             "   transform(sequence(0, size(w) - 3),"
+             "     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+             " )) AS DOUBLE) / (size(w) - 2)) * 10000 + 0.5) / 10000"
+             " ELSE 0.0 END")
+    return F.expr(f"""
+      exists(
+        array(filter(split(lower({c}), '[^a-z0-9]+'), x -> x <> '')),
+        w -> coalesce(
+               size(w) >= {min_words} AND size(w) <= {max_words}
+               AND {mean_r} >= {min_mean_word_len}
+               AND {mean_r} <= {max_mean_word_len}
+               AND {dup_r} <= {max_dup_trigram_frac}, false)
+      )""")

@@ -257,6 +257,35 @@ def test_gopher_quality_edge_cases(spark):
     assert out[4].dup_trigram_frac == 0.0 and out[4].passes is True
 
 
+def test_gopher_gate_matches_gopher_quality_passes(spark, sf_dir):
+    """gopher_gate (single lambda-bound filter expression) must select
+    exactly the documents gopher_quality marks passes=true — on the
+    fixture corpus AND on degenerate docs (NULL/empty text, <3 words,
+    pure repetition, long-word salad, boundary word counts)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.operators.text import (
+        gopher_gate, gopher_quality)
+    from ecommerce_data_engineering_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    rows = [(100 + i, t) for i, t in enumerate([
+        None, "", "one two",
+        ("spam ham eggs " * 40).strip(),
+        " ".join(f"w{i}" for i in range(120)),
+        " ".join("x" * 11 for _ in range(60)),       # mean word len 11
+        " ".join(f"w{i}" for i in range(49)),        # just below min
+        " ".join(f"w{i}" for i in range(50)),        # exactly min
+    ])]
+    edge = spark.createDataFrame(rows, "doc_id long, text string")
+    for df in (docs.select("doc_id", "text"), edge):
+        want = {r.doc_id for r in gopher_quality(df, "text", "doc_id")
+                .filter(F.col("passes")).select("doc_id").collect()}
+        got = {r.doc_id for r in
+               df.filter(gopher_gate("text")).select("doc_id").collect()}
+        assert got == want
+
+
 def test_int8_quantize_stats_edges(spark):
     """Quantization audit edges: zero vector yields zero scale/error;
     a known vector reproduces hand-computed scale and max error."""

@@ -163,16 +163,19 @@ def test_sequence_packing_single_exchange(spark, sf_dir):
     assert n_exchanges == 1, final[:1500]
 
 
-def test_curation_funnel_filter_reads_cached_stats(spark, sf_dir):
-    """The quality-gate filter must scan the persisted stats frame
-    (InMemoryTableScan), not re-inline the tokenization arrays into a
-    pushed-down predicate — the quadratic-blowup guard (22 s → 1.5 s
-    measured at sf0.1)."""
+def test_curation_funnel_gate_is_cache_free_single_tokenization(spark, sf_dir):
+    """The funnel's quality gate is one lambda-bound expression, so the
+    plan must contain NO cached frame (r2's persist() barrier pinned a
+    cache in the session for its lifetime — ADVICE r02) and must
+    tokenize each document once: at most one `split(` per plan side
+    (alias substitution used to inline it ~24x, the 26-s-at-sf0.1
+    blowup).  Also proves the session ends with zero persistent RDDs."""
     from ecommerce_data_engineering_spark.plans import REGISTRY
 
     df = REGISTRY["corpus_curation_funnel"].fn(spark, sf_dir)
-    try:
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "InMemoryTableScan" in plan
-    finally:
-        spark.catalog.clearCache()
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("split(") <= 2, final[:2000]
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty()
