@@ -66,6 +66,15 @@ def split_column(id_col: Column | str, splits: dict[str, float],
     for label in labels[:-1]:
         cum += splits[label]
         thr = threshold_hex(cum)
+        if thr is None:
+            # a non-final cumulative fraction >= 1 starves every later
+            # label; Spark would build `bucket < NULL` (never true)
+            # while the SQL twin would compare against the string
+            # 'None' — a silent cross-engine divergence
+            raise ValueError(
+                f"splits reach cumulative fraction {cum} at non-final "
+                f"label {label!r}; fractions before the last label must "
+                f"sum to < 1")
         if bucket is None:
             bucket = hash_bucket_hex(id_col, seed)
         cond = bucket < F.lit(thr)
@@ -140,6 +149,12 @@ def sql_split_case(id_expr: str, splits: dict[str, float],
     parts, cum = [], 0.0
     for label in labels[:-1]:
         cum += splits[label]
+        thr = threshold_hex(cum)
+        if thr is None:                  # same guard as split_column
+            raise ValueError(
+                f"splits reach cumulative fraction {cum} at non-final "
+                f"label {label!r}; fractions before the last label must "
+                f"sum to < 1")
         parts.append(f"WHEN {sql_bucket(id_expr, seed)} < "
-                     f"'{threshold_hex(cum)}' THEN '{label}'")
+                     f"'{thr}' THEN '{label}'")
     return f"CASE {' '.join(parts)} ELSE '{labels[-1]}' END"

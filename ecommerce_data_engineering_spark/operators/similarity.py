@@ -197,6 +197,11 @@ def int8_quantize_stats(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         pround(F.aggregate("_err", F.lit(0.0),
                            lambda acc, e: F.greatest(acc, e)), 8)
             .alias("max_abs_err"),
-        pround(F.aggregate("_err", F.lit(0.0),
-                           lambda acc, e: acc + e * e) / n, 10).alias("mse"),
+        # n == 0 guard: sum/size would be 0/0 → NULL for an empty
+        # vector while the SQL twin's unnest drops the row entirely;
+        # both sides pin the empty-vector row to mse 0.0 instead
+        pround(F.when(n > 0,
+                      F.aggregate("_err", F.lit(0.0),
+                                  lambda acc, e: acc + e * e) / n)
+               .otherwise(F.lit(0.0)), 10).alias("mse"),
     )

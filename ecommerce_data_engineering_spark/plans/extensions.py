@@ -1075,6 +1075,11 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(max(err) * 1e8 + 0.5) / 1e8 AS max_abs_err,
            floor(sum(err * err) / count(*) * 1e10 + 0.5) / 1e10 AS mse
     FROM e GROUP BY vec_id, scale
+    UNION ALL
+    -- unnest of an empty list yields no rows, which would drop the
+    -- vec_id; mirror the Spark side's pinned zero-stats row instead
+    SELECT vec_id, 0.0 AS scale, 0.0 AS max_abs_err, 0.0 AS mse
+    FROM embeddings WHERE len(embedding) = 0
     """,
     covers=("EXT-similarity", "EXT-curation"),
 )

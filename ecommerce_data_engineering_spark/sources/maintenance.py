@@ -55,6 +55,18 @@ def compact_parquet(spark: SparkSession, path: str,
     — coalesce(n) narrows the scan itself to n tasks, so a large
     compaction would read with no parallelism; the shuffle costs one
     pass and keeps read parallelism at the cluster's width.
+
+    .. warning::
+       The delete-then-rename swap is NOT safe under concurrency: for
+       the window between the two calls the table path does not exist
+       at all, so a concurrent reader fails with path-not-found (a
+       harder failure than reading a partial table), and a crash inside
+       the window loses the live path — the data then survives only
+       under the ``<path>_compacting`` sibling and must be renamed back
+       by hand.  Only use this for tables with an exclusive maintenance
+       window; any table with concurrent readers should be versioned
+       and compacted with :func:`compact_current`, whose publish is an
+       atomic version flip.
     """
     total = table_bytes(spark, path)
     n_files = max(1, math.ceil(total / target_file_bytes))

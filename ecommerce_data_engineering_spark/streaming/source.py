@@ -15,6 +15,31 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from ..schemas import FIXTURES
 
 
+def stream_events_dir(spark: SparkSession, dir_path: str,
+                      glob: str = "*.parquet") -> DataFrame:
+    """Streaming DataFrame over events-shaped parquet under
+    ``dir_path`` (matching ``glob``) with ``ts`` normalized to
+    TIMESTAMP whatever the files stored — the footer sniff and both
+    schema branches live here so every consumer (and test) follows the
+    fixture's actual physical type instead of hardcoding one."""
+    batch_ts = dict(spark.read.option("pathGlobFilter", glob)
+                    .parquet(dir_path).dtypes).get("ts")
+    if batch_ts == "bigint":  # TIMESTAMP(NANOS) via legacy nanosAsLong
+        schema = T.StructType([
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in FIXTURES["events"].fields])
+        return (spark.readStream.schema(schema)
+                .option("pathGlobFilter", glob)
+                .parquet(dir_path)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    schema = T.StructType([
+        f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+        for f in FIXTURES["events"].fields])
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", glob)
+            .parquet(dir_path))
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DataFrame over ``{sf_dir}/events.parquet`` with ``ts``
     normalized to TIMESTAMP (UTC session), whatever the fixture stored.
@@ -22,20 +47,4 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     FileStreamSource wants a directory; the fixture is a single file,
     so stream the directory with a glob filter on the events table.
     """
-    path = sf_dir.rstrip("/")
-    batch_ts = dict(
-        spark.read.parquet(f"{path}/events.parquet").dtypes).get("ts")
-    if batch_ts == "bigint":  # TIMESTAMP(NANOS) via legacy nanosAsLong
-        schema = T.StructType([
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in FIXTURES["events"].fields])
-        return (spark.readStream.schema(schema)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(path)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
-    schema = T.StructType([
-        f if f.name != "ts" else T.StructField("ts", T.TimestampType())
-        for f in FIXTURES["events"].fields])
-    return (spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(path))
+    return stream_events_dir(spark, sf_dir.rstrip("/"), "events.parquet")

@@ -257,6 +257,27 @@ def test_gopher_quality_edge_cases(spark):
     assert out[4].dup_trigram_frac == 0.0 and out[4].passes is True
 
 
+def test_split_fractions_reaching_one_rejected_on_both_engines(spark):
+    """A cumulative non-final split fraction >= 1.0 starves later
+    labels; Spark would compare against NULL while the SQL twin would
+    compare against the string 'None' — both builders must refuse the
+    degenerate dict identically (ADVICE r02)."""
+    import pytest as _pytest
+
+    from ecommerce_data_engineering_spark.operators.sampling import (
+        split_column, sql_split_case)
+
+    bad = {"train": 0.7, "val": 0.3, "test": 0.0}
+    with _pytest.raises(ValueError, match="non-final"):
+        split_column("doc_id", bad, seed=1)
+    with _pytest.raises(ValueError, match="non-final"):
+        sql_split_case("doc_id", bad, seed=1)
+    # a healthy dict still builds on both sides
+    ok = {"train": 0.8, "val": 0.1, "test": 0.1}
+    assert split_column("doc_id", ok, seed=1) is not None
+    assert "CASE" in sql_split_case("doc_id", ok, seed=1)
+
+
 def test_gopher_gate_matches_gopher_quality_passes(spark, sf_dir):
     """gopher_gate (single lambda-bound filter expression) must select
     exactly the documents gopher_quality marks passes=true — on the
@@ -292,11 +313,13 @@ def test_int8_quantize_stats_edges(spark):
     from ecommerce_data_engineering_spark.operators.similarity import (
         int8_quantize_stats)
 
-    rows = [(1, [0.0, 0.0, 0.0]), (2, [1.27, -0.635, 0.0])]
+    rows = [(1, [0.0, 0.0, 0.0]), (2, [1.27, -0.635, 0.0]), (3, [])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {r.vec_id: r for r in
            int8_quantize_stats(df, "embedding", "vec_id").collect()}
     assert out[1].scale == 0.0 and out[1].max_abs_err == 0.0 and out[1].mse == 0.0
+    # empty vector: pinned zero-stats row, not NULL mse / dropped row
+    assert out[3].scale == 0.0 and out[3].max_abs_err == 0.0 and out[3].mse == 0.0
     # scale = 1.27/127 = 0.01; -0.635 sits on a half step and the
     # portable floor(x+0.5) rounds it toward +inf → err = scale/2
     assert out[2].scale == 0.01

@@ -169,15 +169,13 @@ def test_streaming_dedup_drops_redelivered(spark, sf_dir, tmp_path):
     src_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events_redelivered.parquet")
-    # glob in the operator matches only events.parquet; widen for the
-    # test by streaming the dir with the batch-equivalent schema (ts
-    # declared TIMESTAMP, matching streaming/source.py's micros branch)
-    from pyspark.sql import types as T
-    from ecommerce_data_engineering_spark.schemas import FIXTURES
-    schema = T.StructType([
-        f if f.name != "ts" else T.StructField("ts", T.TimestampType())
-        for f in FIXTURES["events"].fields])
-    src = spark.readStream.schema(schema).parquet(str(src_dir))
+    # the production glob matches only events.parquet; stream the test
+    # dir through the same footer-sniffing source so the schema branch
+    # (nanos-as-long vs micros) tracks whatever the fixtures regenerate
+    # to, instead of hardcoding one era's physical type
+    from ecommerce_data_engineering_spark.streaming.source import (
+        stream_events_dir)
+    src = stream_events_dir(spark, str(src_dir))
     dedup = (src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]))
     q = (dedup.writeStream.outputMode("append").format("memory")
          .queryName("stream_dedup_test").trigger(availableNow=True).start())
