@@ -29,10 +29,51 @@ def _tables(spark: SparkSession) -> dict[str, DataFrame]:
     return _CACHE[key]
 
 
-@query("pipeline_dim_customers_scd2", oracle=None, covers=("M1", "S8"))
+@query(
+    "pipeline_dim_customers_scd2",
+    # The synthetic source is a pure function of the row id and the
+    # pipeline's initial SCD2 load is deterministic, so the whole dim
+    # has a closed form DuckDB can rebuild from generate_series: the
+    # generator's column expressions (sources/synthetic.customers),
+    # staging's email lower+trim / segment fill (stage_customers), the
+    # initial-load SCD2 literals, and first-sight surrogate keys
+    # (row_number over customer_id ≡ id+1).  Full row-level hash check
+    # for S8+M1 instead of the r2 rows-only record.
+    oracle="""
+    WITH g AS (
+      SELECT CAST(i AS BIGINT) AS i FROM generate_series(0, 124) AS t(i)
+    )
+    SELECT printf('CUST_%06d', i) AS customer_id,
+           'First' || CAST(i % 997 AS VARCHAR) || ' ' ||
+             'Last' || CAST(i % 499 AS VARCHAR) AS full_name,
+           lower(trim(CASE WHEN i % 17 = 0
+                           THEN printf('  FIRST.LAST%d@GMAIL.COM  ', i)
+                           ELSE printf('first.last%d@gmail.com', i) END))
+             AS email,
+           COALESCE(CASE WHEN i % 97 = 0 THEN NULL
+                         WHEN i % 10 < 2 THEN 'Premium'
+                         WHEN i % 10 < 8 THEN 'Regular'
+                         ELSE 'Budget' END, 'Unknown') AS customer_segment,
+           CASE WHEN i % 5 = 0 THEN 'Dhaka'
+                WHEN i % 5 = 1 THEN 'Chittagong'
+                WHEN i % 5 = 2 THEN 'Sylhet'
+                WHEN i % 5 = 3 THEN 'Rajshahi'
+                ELSE 'Khulna' END AS city,
+           'Bangladesh' AS country,
+           DATE '2022-07-08' + CAST(i % 730 AS INTEGER) AS registration_date,
+           DATE '2024-07-09' AS effective_date,
+           DATE '9999-12-31' AS expiry_date,
+           TRUE AS is_current,
+           CAST(i + 1 AS INTEGER) AS customer_key
+    FROM g
+    """,
+    covers=("M1", "S8"))
 def pipeline_dim_customers_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 customer dimension from the full staging→warehouse build
-    (sf_dir unused — the synthetic source is self-contained)."""
+    (sf_dir unused — the synthetic source is self-contained).  The
+    oracle is the initial load's closed form over generate_series —
+    generator, staging cleaners, SCD2 literals, and surrogate keys all
+    verified row-for-row."""
     return _tables(spark)["dim_customers"]
 
 

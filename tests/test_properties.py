@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -158,3 +159,35 @@ def test_sampling_threshold_encoding_properties(fracs, key):
         # the sampled fraction of the hash space equals frac to 2^-32
         assert abs(int(thr, 16) / (1 << 32) - frac) <= 2 ** -32 + 1e-12
     assert member in (True, False)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01",
+                                "/root/testdata/sf0.1"])
+def test_approx_distinct_users_error_bound(spark, sf):
+    """Quantitative backing for the rows-only approx_distinct_users
+    driver row (VERDICT r02 #4): per event_type, the HLL++ estimate at
+    rsd=0.02 must sit within 4 sigma (8%) of exact COUNT(DISTINCT),
+    and the exact-count companion column must match exactly — across
+    all three fixture scales, like the ANN recall tests."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+    from ecommerce_data_engineering_spark.sources import load
+
+    if not os.path.isdir(sf):
+        pytest.skip(f"{sf} not generated this round")
+    approx = {r.event_type: r for r in REGISTRY["approx_distinct_users"]
+              .fn(spark, sf).collect()}
+    exact = {r.event_type: r for r in
+             load(spark, sf, "events").groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users"),
+                  F.count(F.lit(1)).alias("n_events")).collect()}
+    assert set(approx) == set(exact) and len(exact) > 0
+    for et, row in exact.items():
+        est = approx[et].approx_users
+        rel_err = abs(est - row.exact_users) / max(row.exact_users, 1)
+        assert rel_err <= 0.08, (sf, et, est, row.exact_users, rel_err)
+        assert approx[et].n_events == row.n_events
