@@ -81,6 +81,27 @@ def test_fixture_schemas_match_declarations(spark, sf_dir):
         assert got == want, (name, got, want)
 
 
+def test_fixture_physical_types_pinned(sf_dir):
+    """Footer-level canary (VERDICT r02 #8): the oracle's arithmetic
+    semantics follow the parquet PHYSICAL types (DuckDB sum(BIGINT) →
+    HUGEINT is exactly why the three curation oracles carry BIGINT
+    casts), and the fixtures regenerate every round — ts already
+    drifted nanos→micros once.  Pin the physical types the curation /
+    similarity oracles depend on so a drift fails loudly here instead
+    of as a driver hash mismatch."""
+    import pyarrow.parquet as pq
+
+    docs = {f.name: str(f.type)
+            for f in pq.read_schema(f"{sf_dir}/documents.parquet")}
+    assert docs["doc_id"] == "int64", docs
+    assert docs["n_chars"] == "int64", docs
+    assert docs["text"] in ("string", "large_string"), docs
+    emb = {f.name: str(f.type)
+           for f in pq.read_schema(f"{sf_dir}/embeddings.parquet")}
+    assert emb["vec_id"] == "int64", emb
+    assert emb["embedding"] in ("list<element: float>", "list<item: float>"), emb
+
+
 def test_catalog_serving_views(spark, sf_dir):
     """S6: the BI-serving surface — register fixtures + analytics views,
     then answer business questions in pure SQL against view names
