@@ -169,13 +169,17 @@ def test_curation_funnel_gate_is_cache_free_single_tokenization(spark, sf_dir):
     cache in the session for its lifetime — ADVICE r02) and must
     tokenize each document once: at most one `split(` per plan side
     (alias substitution used to inline it ~24x, the 26-s-at-sf0.1
-    blowup).  Also proves the session ends with zero persistent RDDs."""
+    blowup).  Also proves the query pins no persistent RDDs of its own
+    (other suites may legitimately leave caches — e.g. minhash's
+    shingles — so compare before/after rather than against empty)."""
     from ecommerce_data_engineering_spark.plans import REGISTRY
 
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     df = REGISTRY["corpus_curation_funnel"].fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" not in plan
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("split(") <= 2, final[:2000]
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty()
+    assert (spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            == n_before)
