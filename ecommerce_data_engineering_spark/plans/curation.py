@@ -36,6 +36,8 @@ TOKEN_BUCKET = 32
 PACK_BUDGET = 2048
 PACK_SHARDS = 8
 PACK_SEED = 17
+DECON_NGRAM = 8          # published decontamination range: 8-13 grams
+MIX_CAP = 0.15           # no source may exceed 15% of the token mixture
 
 
 @query(
@@ -316,3 +318,125 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (packed.groupBy("shard", "bin_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("bin_tokens")))
+
+
+def _decon_shingles_cte(n: int) -> str:
+    """DuckDB CTE: distinct word n-gram shingles per doc, keyed by the
+    64-bit md5 prefix both engines agree on (SQL twin of
+    operators/dedup.word_shingles at width n + the key compression)."""
+    terms = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
+    words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+      FROM words WHERE len(w) >= {n}
+    ), shn AS (
+      SELECT DISTINCT doc_id,
+             substring(md5({terms}), 1, 16) AS shingle_key
+      FROM idx
+    )"""
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH {_decon_shingles_cte(DECON_NGRAM)},
+    tagged AS (
+      SELECT doc_id, shingle_key,
+             {SP.sql_split_case('doc_id', SPLITS, SPLIT_SEED)} AS split
+      FROM shn
+    ), eval_sh AS (
+      SELECT DISTINCT shingle_key FROM tagged WHERE split = 'test'
+    )
+    SELECT t.doc_id, count(*) AS n_overlap
+    FROM tagged t JOIN eval_sh e USING (shingle_key)
+    WHERE t.split = 'train'
+    GROUP BY t.doc_id
+    """,
+    covers=("EXT-curation", "EXT-dedup"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents that share any
+    word 8-gram with the held-out test split — the published guard
+    (GPT-3 13-gram, PaLM 8-gram) against benchmark leakage into
+    pretraining data.  Output: contaminated train doc_id with its
+    count of distinct overlapping 8-grams.
+
+    Scale shape: shingles are compressed to 64-bit md5-prefix keys
+    before the join (8-byte shuffle keys instead of ~50-byte strings;
+    both engines compute identical keys, so the oracle stays exact
+    even through collisions).  Against a real benchmark suite (MBs,
+    not a 10% split) the eval side auto-broadcasts and the corpus
+    never shuffles at all — the join here is AQE-planned, no hint, so
+    fixture scale exercises the general shuffle path."""
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("shingle")), 1, 16).alias("shingle_key")
+    sh = (D.word_shingles(docs, "text", "doc_id", n=DECON_NGRAM)
+          .select("doc_id", key)
+          .withColumn("split",
+                      SP.split_column("doc_id", SPLITS, SPLIT_SEED)))
+    eval_sh = (sh.filter(F.col("split") == "test")
+               .select("shingle_key").distinct())
+    return (sh.filter(F.col("split") == "train")
+            .join(eval_sh, "shingle_key")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap")))
+
+
+@query(
+    "corpus_mix_rebalance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(
+               text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM toks
+    )
+    SELECT source, n_docs, n_tokens,
+           floor(n_tokens / total * 1000000 + 0.5) / 1000000 AS raw_share,
+           floor(LEAST(1.0, {MIX_CAP} * total / n_tokens) * 1000000 + 0.5)
+             / 1000000 AS keep_rate,
+           CAST(floor(n_tokens *
+                      LEAST(1.0, {MIX_CAP} * total / n_tokens)) AS BIGINT)
+             AS tokens_after
+    FROM toks, tot
+    """,
+    covers=("EXT-curation",),
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven mixture weighting: compute per-source keep rates
+    FROM the corpus so no source exceeds MIX_CAP of the token budget
+    (the anti-domination rule behind Pile/LLaMA-style mixtures) —
+    the complement of corpus_source_mix, which applies externally
+    given rates.
+
+    Scale shape: one groupBy(source) over token counts (map-side
+    partial aggregation; source cardinality is tiny), then a 1-row
+    scalar broadcast cross for the total — the corpus is scanned once
+    and never shuffled by anything wider than the source key."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+    toks = (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(n_tokens.cast("long")).alias("n_tokens")))
+    total = toks.agg(F.sum("n_tokens").cast("double").alias("total"))
+    rate = F.least(F.lit(1.0), F.lit(MIX_CAP) * F.col("total") / F.col("n_tokens"))
+    from ..functions.rounding import pround
+    return (toks.crossJoin(F.broadcast(total))
+            .select("source", "n_docs", "n_tokens",
+                    pround(F.col("n_tokens") / F.col("total"), 6)
+                        .alias("raw_share"),
+                    pround(rate, 6).alias("keep_rate"),
+                    F.floor(F.col("n_tokens") * rate).cast("long")
+                        .alias("tokens_after")))

@@ -325,3 +325,36 @@ def test_int8_quantize_stats_edges(spark):
     assert out[2].scale == 0.01
     assert out[2].max_abs_err == 0.005
     assert out[2].mse == round((0.005 ** 2) / 3, 10)
+
+
+def test_decontaminate_flags_cross_split_exact_dups(spark, sf_dir):
+    """Semantic floor for corpus_decontaminate: any train-split doc
+    whose normalized text exactly duplicates a test-split doc (with
+    >= 8 words) shares all its 8-grams, so it MUST be flagged; and
+    every flagged doc must be in the train split."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.operators import sampling as SP
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+    from ecommerce_data_engineering_spark.plans.curation import (
+        SPLITS, SPLIT_SEED)
+    from ecommerce_data_engineering_spark.sources import load
+
+    docs = (load(spark, sf_dir, "documents")
+            .withColumn("split",
+                        SP.split_column("doc_id", SPLITS, SPLIT_SEED))
+            .withColumn("norm", F.md5(F.lower(F.trim(F.col("text")))))
+            .select("doc_id", "split", "norm"))
+    test_norms = (docs.filter(F.col("split") == "test")
+                  .select("norm").distinct())
+    expected = {r.doc_id for r in
+                docs.filter(F.col("split") == "train")
+                .join(test_norms, "norm").select("doc_id").collect()}
+    flagged = {r.doc_id for r in
+               REGISTRY["corpus_decontaminate"].fn(spark, sf_dir)
+               .select("doc_id").collect()}
+    assert expected <= flagged, expected - flagged
+    train_ids = {r.doc_id for r in
+                 docs.filter(F.col("split") == "train")
+                 .select("doc_id").collect()}
+    assert flagged <= train_ids
