@@ -76,13 +76,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from ..functions.hashing import MINHASH_P, minhash_params
+
+    base = "CAST(('0x' || substring(md5(shingle), 1, 7)) AS BIGINT)"
     mh_cols = ",\n        ".join(
-        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(NUM_HASHES))
+        f"min(({base} * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(NUM_HASHES)))
     rows = NUM_HASHES // BANDS
     band_pieces = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({key}) AS bucket FROM mh".format(
             b=b,
-            key=" || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)),
+            key=" || '|' || ".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)),
         )
         for b in range(BANDS)
     )
