@@ -10,7 +10,36 @@ KEY = ["pricing_summary", "revenue_by_nation", "top_products",
        "campaign_attribution_scalable", "dedup_minhash_lsh",
        "embedding_cosine_topk", "customer_metrics", "fact_orders_upsert",
        "corpus_deterministic_sample", "corpus_sequence_packing",
-       "corpus_curation_funnel"]
+       "corpus_curation_funnel", "corpus_decontaminate",
+       "corpus_mix_rebalance"]
+
+# Plan-shape commentary kept alongside the regenerated plans (the
+# script owns these so re-running never loses them).
+NOTES = {
+    "customer_metrics": (
+        "No explicit broadcast hint (r02 finding 3): o_agg is "
+        "customer-grain, so a forced broadcast would scale with the "
+        "probe side.  AQE picks BroadcastHashJoin at fixture scale from "
+        "runtime sizes and falls back to a co-partitioned shuffle join "
+        "when the aggregate outgrows the threshold; pinned in "
+        "tests/test_physical.py::test_rollup_join_broadcasts_via_aqe_without_hint."),
+    "corpus_curation_funnel": (
+        "The quality gate is one lambda-bound expression "
+        "(operators/text.gopher_gate): no persisted stats frame, no "
+        "InMemoryTableScan, single tokenization per document — pinned in "
+        "tests/test_physical.py::test_curation_funnel_gate_is_cache_free_single_tokenization."),
+    "dedup_minhash_lsh": (
+        "Signatures use one 28-bit md5 digest per shingle fed through a "
+        "universal-hash family (a_i*x+b_i mod 2^31-1) — 8x fewer digests "
+        "than salted-md5 minhash on the exploded shingle frame."),
+    "corpus_decontaminate": (
+        "Shingles compress to 64-bit md5-prefix keys before the join; "
+        "with a benchmark-sized eval set the eval side auto-broadcasts "
+        "and the corpus never shuffles."),
+    "corpus_mix_rebalance": (
+        "One groupBy(source) with map-side partials plus a 1-row scalar "
+        "broadcast cross for the total — the corpus is scanned once."),
+}
 
 
 def main():
@@ -27,7 +56,9 @@ def main():
         detail = [l for l in lines[tree_end:]
                   if any(k in l for k in ("PushedFilters", "ReadSchema",
                                           "Join type"))][:14]
-        out += [f"## {name}", "```", *lines[:tree_end], "...", *detail, "```", ""]
+        note = [NOTES[name], ""] if name in NOTES else []
+        out += [f"## {name}", *note,
+                "```", *lines[:tree_end], "...", *detail, "```", ""]
     open(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "EXPLAINS.md"), "w").write("\n".join(out))
     spark.stop()
