@@ -191,3 +191,36 @@ def test_approx_distinct_users_error_bound(spark, sf):
         rel_err = abs(est - row.exact_users) / max(row.exact_users, 1)
         assert rel_err <= 0.08, (sf, et, est, row.exact_users, rel_err)
         assert approx[et].n_events == row.n_events
+
+
+@given(st.lists(st.text(alphabet="abcdefgh 0123", min_size=1, max_size=24),
+                min_size=1, max_size=40, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_minhash_universal_hash_cross_engine_parity(tokens):
+    """The universal-hash MinHash (28-bit md5 base through
+    (a_i*x+b_i) mod 2^31-1) must produce identical signatures from
+    pure-Python md5, and the DuckDB SQL form must agree — the same
+    guarantee the salted-md5 minhash had, now for the 8x-cheaper
+    family."""
+    import hashlib
+
+    from ecommerce_data_engineering_spark.functions.hashing import (
+        MINHASH_P, minhash_params)
+
+    params = minhash_params(8)
+    base = {t: int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+            for t in tokens}
+    py_sig = [min((a * base[t] + b) % MINHASH_P for t in tokens)
+              for a, b in params]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE toks(t VARCHAR)")
+    con.executemany("INSERT INTO toks VALUES (?)", [(t,) for t in tokens])
+    cols = ", ".join(
+        f"min((CAST(('0x' || substring(md5(t), 1, 7)) AS BIGINT) * {a} + {b})"
+        f" % {MINHASH_P})" for a, b in params)
+    duck_sig = list(con.execute(f"SELECT {cols} FROM toks").fetchone())
+    assert py_sig == duck_sig
+    # the family must actually vary across i (a_i distinct, mod applied)
+    assert len({a for a, _ in params}) == len(params)
+    assert all(0 <= v < MINHASH_P for v in py_sig)
