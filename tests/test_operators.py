@@ -358,3 +358,21 @@ def test_decontaminate_flags_cross_split_exact_dups(spark, sf_dir):
                  docs.filter(F.col("split") == "train")
                  .select("doc_id").collect()}
     assert flagged <= train_ids
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """dedup_minhash_lsh against its exact-recall baseline
+    (dedup_ngram_jaccard, inverted-index all-candidates): LSH output
+    must be a SUBSET (verification is exact Jaccard at the same
+    threshold) and recall must stay high — fixture near-dups are
+    exact-ish copies, so every banded signature collides; observed
+    1.0 at sf0.001/0.01 with the universal-hash family."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    lsh = {(r.id_a, r.id_b) for r in
+           REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()}
+    exact = {(r.id_a, r.id_b) for r in
+             REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()}
+    assert exact, "baseline found no near-dup pairs — fixture changed?"
+    assert lsh <= exact
+    assert len(lsh & exact) / len(exact) >= 0.9
