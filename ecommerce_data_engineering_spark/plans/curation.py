@@ -343,6 +343,7 @@ def _decon_shingles_cte(n: int) -> str:
 
 @query(
     "corpus_decontaminate",
+    bench=True,
     oracle=f"""
     WITH {_decon_shingles_cte(DECON_NGRAM)},
     tagged AS (
