@@ -183,3 +183,23 @@ def test_curation_funnel_gate_is_cache_free_single_tokenization(spark, sf_dir):
     assert final.count("split(") <= 2, final[:2000]
     assert (spark.sparkContext._jsc.sc().getPersistentRDDs().size()
             == n_before)
+
+
+def test_minhash_repeat_invocations_reuse_one_cache_entry(spark, sf_dir):
+    """dedup_minhash_lsh persists its shingle frame (three consumers);
+    CacheManager must dedup the identical plan across invocations so a
+    long-lived session holds ONE entry per (session, sf_dir), not one
+    per call — the accumulation failure mode ADVICE r02 flagged on the
+    funnel's (since removed) persist."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    spark.catalog.clearCache()
+    try:
+        REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+        n1 = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+        REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+        n3 = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert n1 == n3, (n1, n3)
+    finally:
+        spark.catalog.clearCache()
