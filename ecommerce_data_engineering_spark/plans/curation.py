@@ -334,10 +334,15 @@ def _decon_shingles_cte(n: int) -> str:
     ), idx AS (
       SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
       FROM words WHERE len(w) >= {n}
+    ), rawsh AS (
+      -- DISTINCT on the raw shingle, THEN project the key: matches the
+      -- Spark side (word_shingles distinct -> md5-prefix projection),
+      -- which does NOT re-dedup after key compression -- keeps the two
+      -- engines identical even through a key collision
+      SELECT DISTINCT doc_id, {terms} AS shingle FROM idx
     ), shn AS (
-      SELECT DISTINCT doc_id,
-             substring(md5({terms}), 1, 16) AS shingle_key
-      FROM idx
+      SELECT doc_id, substring(md5(shingle), 1, 16) AS shingle_key
+      FROM rawsh
     )"""
 
 
