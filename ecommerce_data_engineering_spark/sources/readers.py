@@ -91,8 +91,11 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
 
     Thin wrapper so callers get *partitioned* JDBC reads by default —
     an unpartitioned JDBC scan funnels the whole table through one
-    task, the classic ingestion bottleneck.  Untested here (no database
-    in the container); config surface only.
+    task, the classic ingestion bottleneck.  Exercised end-to-end
+    against embedded Derby (in-process JDBC, shipped with pyspark) in
+    ``tests/test_sources.py::test_jdbc_roundtrip_embedded_derby``,
+    including the partitioned scan and predicate pushdown; the same
+    wrapper pointed at Postgres reproduces the reference's boundary.
     """
     reader = (spark.read.format("jdbc")
               .option("url", url).option("dbtable", table))

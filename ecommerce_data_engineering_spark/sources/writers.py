@@ -65,9 +65,10 @@ def jdbc_write_options(url: str, table: str,
 
 def write_jdbc(df: DataFrame, url: str, table: str,
                mode: str = "append", **kw) -> None:
-    """Execute the JDBC write with :func:`jdbc_write_options`.
-    Untested live (no database in the container); config surface only —
-    the writer twin of ``readers.read_jdbc``."""
+    """Execute the JDBC write with :func:`jdbc_write_options` — the
+    writer twin of ``readers.read_jdbc``.  Exercised (append +
+    overwrite) against embedded Derby in
+    ``tests/test_sources.py::test_jdbc_roundtrip_embedded_derby``."""
     writer = df.write.format("jdbc").mode(mode)
     for k, v in jdbc_write_options(url, table, **kw).items():
         writer = writer.option(k, v)
