@@ -167,6 +167,64 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
             .drop("c_vec", "__rn"))
 
 
+def kmeans_refine(df: DataFrame, centroids: DataFrame,
+                  n_iter: int = 3, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's-iteration refinement of IVF coarse centroids — train the
+    quantizer instead of trusting the seeds.
+
+    Each iteration: assign every vector to its nearest centroid
+    (broadcast cross, same kernel as :func:`ivf_assign`), recompute
+    each cell's element-wise mean, and pull the tiny (k, d) centroid
+    table back to the driver so the next iteration starts from a flat
+    plan — the MLlib pattern: cluster-side passes are O(|corpus|·k·d)
+    scans, driver state is O(k·d) floats, and lineage never stacks
+    iteration over iteration.  Ties in the assignment break by
+    cluster_id, collect order is canonicalized by position sort, so
+    two runs produce identical centroids (pinned in tests).
+
+    An empty cell keeps its previous centroid (standard Lloyd's
+    fallback; k never shrinks).  Iterative → registered rows-only per
+    the driver contract, with the k-means invariants (WCSS monotone
+    non-increasing, determinism) asserted in pytest instead.
+    """
+    cur = centroids.select("cluster_id", F.col(vec_col))
+    for _ in range(n_iter):
+        assigned = ivf_assign(df.select(id_col, vec_col), cur,
+                              id_col=id_col, vec_col=vec_col, nprobe=1)
+        means = (assigned
+                 .select("cluster_id", F.posexplode(vec_col))
+                 .groupBy("cluster_id", "pos")
+                 .agg(F.avg(F.col("col").cast("double")).alias("v"))
+                 .groupBy("cluster_id")
+                 .agg(F.expr("transform(array_sort(collect_list("
+                             "struct(pos, v))), s -> s.v)").alias(vec_col)))
+        prev = {r["cluster_id"]: list(r[vec_col]) for r in cur.collect()}
+        new = {r["cluster_id"]: list(r[vec_col]) for r in means.collect()}
+        merged = [(cid, new.get(cid, vec)) for cid, vec in
+                  sorted(prev.items())]
+        cur = df.sparkSession.createDataFrame(
+            merged, f"cluster_id int, {vec_col} array<double>")
+    return cur
+
+
+def kmeans_wcss(df: DataFrame, centroids: DataFrame,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> float:
+    """Within-cluster sum of squares under nearest-centroid assignment
+    — the quantity Lloyd's iterations never increase."""
+    assigned = ivf_assign(df.select(id_col, vec_col), centroids,
+                          id_col=id_col, vec_col=vec_col, nprobe=1)
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("c_vec_kept"),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cent = centroids.select(F.col("cluster_id"),
+                            F.col(vec_col).alias("c_vec_kept"))
+    return (assigned.join(cent, "cluster_id")
+            .select(d2.alias("d2")).agg(F.sum("d2")).collect()[0][0])
+
+
 def int8_quantize_stats(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """Per-vector symmetric int8 quantization audit: scale =
     max|x|/127, q = round-half-up(x/scale), and the reconstruction

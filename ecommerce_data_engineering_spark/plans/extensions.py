@@ -1101,3 +1101,31 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding column 4x for the 100 TB store."""
     emb = load(spark, sf_dir, "embeddings")
     return S.int8_quantize_stats(emb, "embedding", "vec_id")
+
+
+@query("embedding_ivf_kmeans", oracle=None, covers=("EXT-similarity",))
+def embedding_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: 3 Lloyd's iterations from the
+    deterministic seed centroids (operators/similarity.kmeans_refine),
+    reporting each refined cell's population and centroid norm.
+    Iterative algorithm → rows-only driver check per contract; the
+    k-means invariants (WCSS monotone non-increasing over iterations,
+    run-to-run determinism) are pinned in tests/test_operators.py."""
+    from ..operators.similarity import ivf_assign, kmeans_refine
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (emb.filter((F.col("vec_id") % IVF_SEED_STEP == 0)
+                        & (F.col("vec_id") < IVF_K * IVF_SEED_STEP))
+             .select((F.col("vec_id") / IVF_SEED_STEP).cast("int")
+                     .alias("cluster_id"), "embedding"))
+    trained = kmeans_refine(emb, seeds, n_iter=3)
+    assigned = ivf_assign(emb, trained)
+    norm = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("embedding"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    cent = trained.select("cluster_id",
+                          pround(F.sqrt(norm), 6).alias("centroid_norm"))
+    return sizes.join(cent, "cluster_id")

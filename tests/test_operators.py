@@ -376,3 +376,33 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     assert exact, "baseline found no near-dup pairs — fixture changed?"
     assert lsh <= exact
     assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_kmeans_refine_invariants(spark, sf_dir):
+    """Lloyd's algorithm contract: WCSS under nearest-centroid
+    assignment never increases across refinement iterations, the
+    cluster count never shrinks (empty cells keep their previous
+    centroid), and two runs produce bit-identical centroids."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.operators.similarity import (
+        kmeans_refine, kmeans_wcss)
+    from ecommerce_data_engineering_spark.sources import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (emb.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496))
+             .select((F.col("vec_id") / 31).cast("int").alias("cluster_id"),
+                     "embedding"))
+    wcss = [kmeans_wcss(emb, seeds)]
+    cur = seeds
+    for _ in range(3):
+        cur = kmeans_refine(emb, cur, n_iter=1)
+        wcss.append(kmeans_wcss(emb, cur))
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(wcss, wcss[1:])), wcss
+    assert wcss[-1] < wcss[0]                      # training actually helps
+    assert cur.count() == seeds.count()
+
+    again = kmeans_refine(emb, seeds, n_iter=3)
+    a = sorted((r.cluster_id, tuple(r.embedding)) for r in again.collect())
+    b = sorted((r.cluster_id, tuple(r.embedding)) for r in cur.collect())
+    assert a == b
