@@ -185,3 +185,57 @@ def test_streaming_dedup_drops_redelivered(spark, sf_dir, tmp_path):
         "SELECT count(DISTINCT event_id) c FROM stream_dedup_test").collect()[0].c
     want = load(spark, sf_dir, "events").count()
     assert n == distinct_ids == want
+
+
+@pytest.mark.timeout(300)
+def test_streaming_corpus_curation_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming-equals-batch for the curation funnel's dedup+gate
+    stages: feed the documents fixture as two files (split by doc_id,
+    one micro-batch each, with the second file re-delivering some of
+    the first's content), and the union of epoch outputs must equal
+    the batch exact-dedup keeper set filtered by the quality gate."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.operators import dedup as D
+    from ecommerce_data_engineering_spark.operators.text import gopher_gate
+    from ecommerce_data_engineering_spark.sources import load
+    from ecommerce_data_engineering_spark.streaming import (
+        curated_corpus_incremental)
+
+    import shutil
+    import time
+
+    docs = load(spark, sf_dir, "documents")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def write_single(df, name):
+        # the file stream source consumes FILES, not Spark's parquet
+        # output directories — stage then copy the lone part file
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.copy(next(stage.glob("part-*.parquet")), src / name)
+
+    # part 1: low doc_ids; part 2: the rest PLUS a redelivered slice of
+    # part 1 (cross-batch duplicates the registry must reject); the
+    # mtime gap fixes the micro-batch order so first-seen == min doc_id
+    write_single(docs.filter(F.col("doc_id") <= cut), "p1.parquet")
+    time.sleep(1.1)
+    write_single(
+        docs.filter((F.col("doc_id") > cut) | (F.col("doc_id") <= cut / 4)),
+        "p2.parquet")
+
+    out = curated_corpus_incremental(
+        spark, str(src), str(tmp_path / "registry"),
+        str(tmp_path / "curated"), str(tmp_path / "ckpt"))
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+
+    keepers = (D.exact_dedup(docs, "text", "doc_id")
+               .select(F.col("keeper_id").alias("doc_id")))
+    want = {r.doc_id for r in
+            docs.join(keepers, "doc_id", "left_semi")
+            .filter(gopher_gate("text")).select("doc_id").collect()}
+    assert got == want and len(want) > 0
+    # no doc admitted twice across epochs
+    assert out.count() == out.select("doc_id").distinct().count()
