@@ -406,3 +406,24 @@ def test_kmeans_refine_invariants(spark, sf_dir):
     a = sorted((r.cluster_id, tuple(r.embedding)) for r in again.collect())
     b = sorted((r.cluster_id, tuple(r.embedding)) for r in cur.collect())
     assert a == b
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """Two identical seed centroids: every vector ties and assignment
+    breaks to the lower cluster_id, so cluster 1 goes empty — Lloyd's
+    fallback must carry its previous centroid forward instead of
+    dropping the cell or emitting nulls."""
+    from ecommerce_data_engineering_spark.operators.similarity import (
+        kmeans_refine)
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(0, [5.0, 1.0]), (1, [5.0, 1.0])],
+        "cluster_id int, embedding array<double>")
+    out = {r.cluster_id: list(r.embedding) for r in
+           kmeans_refine(vecs, seeds, n_iter=1).collect()}
+    assert set(out) == {0, 1}
+    assert out[0] == [4.5, 1.0]          # mean of all ten vectors
+    assert out[1] == [5.0, 1.0]          # empty cell: previous centroid

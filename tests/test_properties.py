@@ -224,3 +224,26 @@ def test_minhash_universal_hash_cross_engine_parity(tokens):
     # the family must actually vary across i (a_i distinct, mod applied)
     assert len({a for a, _ in params}) == len(params)
     assert all(0 <= v < MINHASH_P for v in py_sig)
+
+
+@given(st.lists(
+    st.text(alphabet="abcdefghij XYZ.,!0123456789  ", min_size=0, max_size=400),
+    min_size=1, max_size=25))
+@settings(max_examples=10, deadline=None)
+def test_gopher_gate_equals_gopher_quality_on_random_texts(spark, texts):
+    """gopher_gate (single lambda-bound predicate) and gopher_quality
+    (staged diagnostic projection) must agree on arbitrary text —
+    hypothesis-driven twin check batched into one Spark round-trip per
+    example set."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.operators.text import (
+        gopher_gate, gopher_quality)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    want = {r.doc_id for r in gopher_quality(df, "text", "doc_id")
+            .filter(F.col("passes")).select("doc_id").collect()}
+    got = {r.doc_id for r in
+           df.filter(gopher_gate("text")).select("doc_id").collect()}
+    assert got == want
