@@ -203,3 +203,40 @@ def test_minhash_repeat_invocations_reuse_one_cache_entry(spark, sf_dir):
         assert n1 == n3, (n1, n3)
     finally:
         spark.catalog.clearCache()
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The session enables spark.sql.adaptive.skewJoin; prove it fires:
+    a join where one key holds ~100x the rows of any other must show
+    skew-split sort-merge partitions in the final AQE plan (the
+    automatic path that complements operators/skew.py's manual
+    null-key/salting treatments).  Thresholds are lowered to make the
+    fixture-sized hot key count as skewed; at real scale the 256 MB
+    default plays the same role."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    prior = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id"))
+             .alias("k"),
+            F.col("id").alias("payload"))
+        right = spark.range(2_000).select(F.col("id").alias("k"),
+                                          (F.col("id") * 3).alias("r"))
+        j = left.join(right, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prior.items():
+            spark.conf.set(k, v)
