@@ -240,3 +240,42 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in prior.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: joining the month-partitioned fact
+    (sources/writers.write_partitioned) to a dim filtered at runtime
+    must plant a dynamicpruning subquery on the fact scan, so only the
+    joined months are read — the mechanism that makes the monthly
+    layout pay off at 100 TB even when the month list comes from data
+    instead of a literal."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.sources import write_partitioned
+
+    fact = spark.range(20_000).select(
+        F.col("id").alias("order_id"),
+        (F.lit(20240100) + (F.col("id") % 12 + 1) * 100 + F.col("id") % 28 + 1)
+        .cast("int").alias("order_date_key"),
+        (F.col("id") * 1.5).alias("amount"))
+    out = str(tmp_path / "fact_dpp")
+    write_partitioned(fact, out)
+
+    dim = spark.range(12).select(
+        (F.lit(202401) + F.col("id")).cast("int").alias("order_month"),
+        (F.col("id") % 4).alias("quarter"))
+    prior = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            "false")
+        back = spark.read.parquet(out)
+        j = back.join(dim.filter(F.col("quarter") == 0), "order_month")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        assert j.count() == 3 * back.filter(
+            F.col("order_month").isin(202401, 202405, 202409)).count() / 3
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            prior)
