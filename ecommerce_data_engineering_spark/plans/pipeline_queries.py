@@ -77,6 +77,19 @@ def pipeline_dim_customers_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tables(spark)["dim_customers"]
 
 
+# Why the two money-bearing pipeline tables stay rows-only: the
+# synthetic generator mirrors the reference's float math with
+# double→decimal casts (tax = (subtotal−discount)·0.15 cast to
+# DECIMAL(10,2)), and that cast's rounding is ENGINE-DEFINED on
+# knife-edge doubles — measured: Spark rounds the shortest decimal
+# representation half-up (143.92499999999998 → 143.92), DuckDB yields
+# 143.93 on the identical double.  No portable SQL expresses "Spark's
+# cast", so a value-hash oracle would be chasing cast internals, not
+# pipeline correctness; the money columns are instead covered by
+# test_pipeline's invariants and by the fixture-table analytics
+# queries, whose money math is decimal-exact end-to-end by design.
+# (pipeline_dim_customers_scd2 has no money column — hence its full
+# closed-form oracle above.)
 @query("pipeline_customer_metrics", oracle=None, covers=("A1", "S8"))
 def pipeline_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """analytics.customer_metrics out of the end-to-end pipeline with
