@@ -204,3 +204,69 @@ def test_parallel_pipeline_dag_matches(spark):
     assert not bad, bad
     assert runs["create_business_summary_views"].result[
         "top_products"].count() > 0
+
+
+def test_curation_dag_with_transient_failure_matches_direct_funnel(spark):
+    """The curation funnel expressed as an orchestrated DAG (dedup →
+    gate → split → pack as tasks, results flowing through the task
+    graph) with a transiently-failing gate task: the retry recovers it
+    and the final manifest equals the direct corpus_curation_funnel
+    query — Airflow-equivalent semantics wrapped around the curation
+    story."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.operators import dedup as D
+    from ecommerce_data_engineering_spark.operators import packing as PK
+    from ecommerce_data_engineering_spark.operators import sampling as SP
+    from ecommerce_data_engineering_spark.operators import text as X
+    from ecommerce_data_engineering_spark.orchestration import Dag, State
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+    from ecommerce_data_engineering_spark.plans.curation import (
+        PACK_BUDGET, PACK_SEED, PACK_SHARDS, SPLIT_SEED, SPLITS)
+    from ecommerce_data_engineering_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    d = Dag("curation", default_retries=1)
+    d.sleep = lambda s: None
+    flaked = {"n": 0}
+
+    def dedup_task(r):
+        docs = load(spark, sf, "documents")
+        keepers = (D.exact_dedup(docs, "text", "doc_id")
+                   .select(F.col("keeper_id").alias("doc_id")))
+        return docs.join(keepers, "doc_id", "left_semi")
+
+    def gate_task(r):
+        flaked["n"] += 1
+        if flaked["n"] == 1:
+            raise RuntimeError("transient executor loss")
+        return r["dedup"].filter(X.gopher_gate("text"))
+
+    def split_task(r):
+        return (SP.assign_splits(r["gate"], "doc_id", SPLITS, SPLIT_SEED)
+                .filter(F.col("split") == "train"))
+
+    def pack_task(r):
+        n_tokens = F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+        toks = r["split"].select(
+            "doc_id", n_tokens.cast("long").alias("n_tokens"))
+        packed = PK.pack_sequences(toks, "doc_id", "n_tokens", PACK_BUDGET,
+                                   num_shards=PACK_SHARDS, seed=PACK_SEED)
+        return (packed.groupBy("shard", "bin_id")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("bin_tokens")))
+
+    d.task("dedup", dedup_task)
+    d.task("gate", gate_task, upstream=["dedup"])
+    d.task("split", split_task, upstream=["gate"])
+    d.task("pack", pack_task, upstream=["split"])
+    runs = d.run()
+    assert all(r.state is State.SUCCESS for r in runs.values())
+    assert runs["gate"].attempts == 2
+
+    got = sorted(map(tuple, d.results(runs)["pack"].collect()))
+    want = sorted(map(tuple,
+                      REGISTRY["corpus_curation_funnel"].fn(spark, sf)
+                      .collect()))
+    assert got == want and len(want) > 0
