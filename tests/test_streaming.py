@@ -239,3 +239,66 @@ def test_streaming_corpus_curation_equals_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
     # no doc admitted twice across epochs
     assert out.count() == out.select("doc_id").distinct().count()
+
+
+@pytest.mark.timeout(300)
+def test_streaming_corpus_recovers_from_publish_crash(spark, sf_dir,
+                                                      tmp_path, monkeypatch):
+    """Exactly-once under failure: crash the FIRST registry publish
+    (after the epoch directory already landed), restart from the same
+    checkpoint, and the recovered stream must converge to the batch
+    dedup+gate result with no duplicate admissions — the epoch-dir
+    overwrite + commit-marker registry make the retry idempotent."""
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.operators import dedup as D
+    from ecommerce_data_engineering_spark.operators.text import gopher_gate
+    from ecommerce_data_engineering_spark.sources import load, versioned
+    from ecommerce_data_engineering_spark.streaming import (
+        curated_corpus_incremental)
+
+    docs = load(spark, sf_dir, "documents")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def write_single(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.copy(next(stage.glob("part-*.parquet")), src / name)
+
+    write_single(docs.filter(F.col("doc_id") <= cut), "p1.parquet")
+    time.sleep(1.1)
+    write_single(docs.filter(F.col("doc_id") > cut), "p2.parquet")
+
+    real_publish = versioned.publish_version
+    crashed = {"n": 0}
+
+    def crashing_publish(df, root, *a, **kw):
+        if "registry" in str(root) and crashed["n"] == 0:
+            crashed["n"] += 1
+            raise RuntimeError("simulated crash after epoch write")
+        return real_publish(df, root, *a, **kw)
+
+    monkeypatch.setattr(versioned, "publish_version", crashing_publish)
+    with pytest.raises(Exception):
+        curated_corpus_incremental(
+            spark, str(src), str(tmp_path / "registry"),
+            str(tmp_path / "curated"), str(tmp_path / "ckpt"))
+    assert crashed["n"] == 1
+    monkeypatch.setattr(versioned, "publish_version", real_publish)
+
+    out = curated_corpus_incremental(
+        spark, str(src), str(tmp_path / "registry"),
+        str(tmp_path / "curated"), str(tmp_path / "ckpt"))
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    keepers = (D.exact_dedup(docs, "text", "doc_id")
+               .select(F.col("keeper_id").alias("doc_id")))
+    want = {r.doc_id for r in
+            docs.join(keepers, "doc_id", "left_semi")
+            .filter(gopher_gate("text")).select("doc_id").collect()}
+    assert got == want and len(want) > 0
+    assert out.count() == out.select("doc_id").distinct().count()
