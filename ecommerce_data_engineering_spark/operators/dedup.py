@@ -256,3 +256,71 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 break
             prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+# -------------------------------------------------- exact chunk (C4-style)
+
+def chunk_exact_dedup(df: DataFrame, text_col: str, id_col: str,
+                      chunk_words: int = 4) -> DataFrame:
+    """C4-style exact span dedup: of every globally-repeated
+    ``chunk_words``-word chunk, keep ONE occurrence (the first in
+    (doc, position) order) and drop the rest, then reassemble each
+    document from its surviving chunks.
+
+    C4 removes any three-sentence span that occurs more than once in
+    the corpus, keeping one copy; the fixtures' documents have no
+    sentence structure, so the unit here is a fixed-width
+    non-overlapping word chunk — the mechanics (and the physical plan)
+    are identical, only the segmentation differs.
+
+    Returns one row per document: ``n_chunks``, ``n_dropped``, and
+    ``kept_md5`` — the md5 of the space-joined surviving chunks, which
+    pins the *exact reassembled text* (order included) cross-engine.
+
+    Scale: the only frames that shuffle carry ``(chunk_md5, doc, pos)``
+    triples — never document bodies.  Stage 1 groups by chunk hash to
+    find each chunk's global count and first occurrence (map-side
+    partial aggregation does the heavy lifting; duplicated chunks are
+    a small minority of a real corpus).  Stage 2 joins the verdicts
+    back by chunk hash (AQE chooses broadcast when the duplicated-set
+    is small, which at 100 TB it is relative to the corpus) and stage 3
+    regroups by document to reassemble.  No window over the whole
+    corpus, no driver state, no skew beyond a hot chunk — which is
+    exactly one reduce key.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n = chunk_words
+    chunks = (df.select(F.col(id_col), w.alias("_w"))
+              .select(
+                  id_col,
+                  # sequence(1, 0) in Spark is [1, 0] (it infers step -1
+                  # when start > stop), so the <n-word doc needs a guard
+                  F.expr(
+                      f"CASE WHEN size(_w) >= {n} THEN"
+                      f" transform(sequence(1, CAST(floor(size(_w)/{n}) AS INT)),"
+                      f"   i -> array_join(slice(_w, (i-1)*{n} + 1, {n}), ' '))"
+                      f" ELSE CAST(array() AS array<string>) END"
+                  ).alias("_chunks"))
+              .select(id_col, F.posexplode("_chunks").alias("pos", "chunk")))
+    hashed = chunks.withColumn("_h", F.md5("chunk"))
+    verdicts = (hashed.groupBy("_h")
+                .agg(F.count(F.lit(1)).alias("_cnt"),
+                     F.min(F.struct(F.col(id_col).alias("d"),
+                                    F.col("pos").alias("p"))).alias("_keep")))
+    kept_flag = ((F.col("_cnt") == 1)
+                 | ((F.col("_keep.d") == F.col(id_col))
+                    & (F.col("_keep.p") == F.col("pos"))))
+    marked = (hashed.join(verdicts, "_h")
+              .select(id_col, "pos", "chunk", kept_flag.alias("_kept")))
+    return (marked.groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.count_if(~F.col("_kept")).alias("n_dropped"),
+                F.md5(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("_kept"),
+                                   F.struct(F.col("pos"), F.col("chunk"))))),
+                        lambda s: s.chunk),
+                    " ")).alias("kept_md5"),
+            ))

@@ -446,3 +446,56 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pround(rate, 6).alias("keep_rate"),
                     F.floor(F.col("n_tokens") * rate).cast("long")
                         .alias("tokens_after")))
+
+
+CHUNK_WORDS = 4          # C4 uses 3-sentence spans; word-salad fixtures
+                         # have no sentences, so the span unit is words
+
+
+@query(
+    "corpus_chunk_dedup",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(
+               w[(i*{CHUNK_WORDS}+1):(i*{CHUNK_WORDS}+{CHUNK_WORDS})], ' ')
+               AS chunk
+      FROM words,
+           unnest(range(CAST(floor(len(w)/{CHUNK_WORDS}) AS BIGINT))) AS t(i)
+    ), marked AS (
+      SELECT doc_id, pos, chunk,
+             count(*) OVER (PARTITION BY chunk) AS cnt,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           count(*) FILTER (WHERE cnt > 1 AND rn > 1) AS n_dropped,
+           md5(coalesce(
+             string_agg(chunk, ' ' ORDER BY pos)
+               FILTER (WHERE cnt = 1 OR rn = 1), '')) AS kept_md5
+    FROM marked GROUP BY doc_id
+    """,
+    covers=("EXT-dedup", "EXT-curation"),
+    bench=True,
+)
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style exact span dedup (operators/dedup.chunk_exact_dedup):
+    every globally-repeated 4-word chunk keeps its first (doc, pos)
+    occurrence and loses the rest; documents are reassembled from the
+    surviving chunks and pinned by md5 so the oracle checks the exact
+    rebuilt text, not just counts.
+
+    The third exactness tier of the dedup family: document-level
+    (dedup_exact) → near-dup (minhash/simhash) → intra-corpus span
+    level (this) — the C4/RefinedWeb "remove repeated boilerplate
+    spans, keep one copy" pass."""
+    from ..operators import dedup as D
+    docs = load(spark, sf_dir, "documents")
+    return D.chunk_exact_dedup(docs, "text", "doc_id",
+                               chunk_words=CHUNK_WORDS)

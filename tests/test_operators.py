@@ -427,3 +427,51 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     assert set(out) == {0, 1}
     assert out[0] == [4.5, 1.0]          # mean of all ten vectors
     assert out[1] == [5.0, 1.0]          # empty cell: previous centroid
+
+
+def test_chunk_exact_dedup_invariants(spark, sf_dir):
+    """C4-style span dedup: (1) kept chunks = distinct chunk values
+    (every repeated chunk survives exactly once, corpus-wide); (2) a
+    synthetic corpus whose chunks are all unique drops nothing and
+    reassembles to md5 of the original text; (3) the repeated span's
+    first (doc, pos) occurrence is the survivor."""
+    from ecommerce_data_engineering_spark.operators.dedup import (
+        chunk_exact_dedup)
+    from ecommerce_data_engineering_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = chunk_exact_dedup(docs, "text", "doc_id", chunk_words=4).cache()
+    agg = out.agg(F.sum("n_chunks").alias("total"),
+                  F.sum("n_dropped").alias("dropped")).collect()[0]
+    docs2 = docs.select(
+        "doc_id", "text",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ws"))
+    n_distinct = (
+        docs2.select(F.explode(F.expr(
+            "CASE WHEN size(ws) >= 4 THEN"
+            " transform(sequence(1, CAST(floor(size(ws)/4) AS INT)),"
+            "   i -> array_join(slice(ws, (i-1)*4 + 1, 4), ' '))"
+            " ELSE CAST(array() AS array<string>) END").alias("c")))
+        .select("col").distinct().count())
+    assert agg["total"] - agg["dropped"] == n_distinct
+    out.unpersist()
+
+    # unique-chunk corpus: nothing dropped, text reassembles exactly
+    uniq = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           chunk_exact_dedup(uniq, "text", "doc_id", 4).collect()}
+    import hashlib
+    assert got[1]["n_dropped"] == 0
+    assert got[1]["kept_md5"] == hashlib.md5(b"a b c d e f g h").hexdigest()
+
+    # repeated span: doc 1 pos 0 is first in (doc, pos) order → doc 2's
+    # copy is the one dropped
+    rep = spark.createDataFrame(
+        [(1, "x y z w a b c d"), (2, "x y z w p q r s")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           chunk_exact_dedup(rep, "text", "doc_id", 4).collect()}
+    assert got[1]["n_dropped"] == 0 and got[2]["n_dropped"] == 1
+    assert got[2]["kept_md5"] == hashlib.md5(b"p q r s").hexdigest()
