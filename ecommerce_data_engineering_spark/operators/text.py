@@ -256,3 +256,41 @@ def gopher_gate(text_col: str, min_words: int = 50, max_words: int = 100_000,
                AND {mean_r} <= {max_mean_word_len}
                AND {dup_r} <= {max_dup_trigram_frac}, false)
       )""")
+
+
+# ------------------------------------------------------------------ PII
+
+# Java-regex ∩ RE2 subset (character classes, bounded repeats, \b) so
+# Spark and the DuckDB oracle compile the IDENTICAL pattern strings.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,2}-\d{3}-\d{4}",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Regex PII detection + masking (the pre-training scrub pass):
+    per document, the match count for each PII class and the md5 of
+    the text after replacing every match with ``<CLASS>``.
+
+    The md5 pins the exact redacted string (span boundaries included)
+    cross-engine, which is a far stronger check than counts alone.
+    Redaction order is the PII_PATTERNS iteration order (email → ipv4
+    → phone); the classes cannot overlap, so order only matters for
+    determinism, not semantics.
+
+    Scale: a stateless projection of codegen'd regexp expressions —
+    runs inside the scan at 100 TB, no shuffle, no UDF; counts
+    aggregate map-side if rolled up downstream.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(p), 0)).cast("bigint")
+            .alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    ]
+    red = t
+    for k, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, f"<{k.upper()}>")
+    return df.select(F.col(id_col), *counts, F.md5(red).alias("redacted_md5"))

@@ -499,3 +499,49 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.chunk_exact_dedup(docs, "text", "doc_id",
                                chunk_words=CHUNK_WORDS)
+
+
+NUM_SHARDS = 8           # fixture-sized; production uses O(cluster) shards
+SHARD_SEED = 23
+
+
+@query(
+    "corpus_shard_assignment",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             {SP.sql_bucket('doc_id', SHARD_SEED)} AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || h) AS BIGINT) % {NUM_SHARDS} AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || h) AS BIGINT) % {NUM_SHARDS}
+             ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+    FROM hashed
+    """,
+    covers=("EXT-curation",),
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard layout for training-data
+    order: every document gets a shard (hash mod NUM_SHARDS) and a
+    position within its shard (ascending hash order) — together a
+    reproducible corpus-wide random permutation in shard-major order,
+    the layout a training loader consumes.  Re-runs, backfills, and
+    the oracle agree row-for-row because order is a pure function of
+    doc_id.
+
+    Scale: one shuffle on the shard key, then a per-shard sort — no
+    global window.  Shard count scales with the cluster (thousands at
+    100 TB), so each sort stays executor-sized; Spark's range-free
+    hash layout means no skew beyond hash variance."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = SP.hash_bucket_hex("doc_id", SHARD_SEED)
+    hashed = docs.select("doc_id", h.alias("h"))
+    shard = (F.conv(F.col("h"), 16, 10).cast("long") % NUM_SHARDS)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (hashed.withColumn("shard", shard)
+            .select("doc_id", "shard",
+                    F.row_number().over(w).cast("bigint").alias("shard_pos")))

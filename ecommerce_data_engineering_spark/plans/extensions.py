@@ -1129,3 +1129,60 @@ def embedding_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = trained.select("cluster_id",
                           pround(F.sqrt(norm), 6).alias("centroid_norm"))
     return sizes.join(cent, "cluster_id")
+
+
+def _pii_oracle() -> str:
+    email, ipv4, phone = (X.PII_PATTERNS["email"], X.PII_PATTERNS["ipv4"],
+                          X.PII_PATTERNS["phone"])
+    return f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 <> 0
+                  THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                       || '@example.org' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                  THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                       || '.' || CAST(doc_id % 250 AS VARCHAR)
+                       || '.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END
+             || ' call +1-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{email}')) AS n_email,
+           len(regexp_extract_all(t, '{ipv4}')) AS n_ipv4,
+           len(regexp_extract_all(t, '{phone}')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+             t, '{email}', '<EMAIL>', 'g'),
+                '{ipv4}', '<IPV4>', 'g'),
+                '{phone}', '<PHONE>', 'g')) AS redacted_md5
+    FROM injected
+    """
+
+
+@query("text_pii_redaction", oracle=_pii_oracle(), covers=("EXT-text",))
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (operators/text.pii_scrub): email / IPv4 / phone
+    counts plus the md5 of the fully-masked text.  The fixture corpus
+    carries no PII, so the query injects deterministic synthetic PII
+    (a pure function of doc_id, mirrored exactly in the oracle SQL)
+    before scrubbing — the operator itself is injection-agnostic."""
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 != 0,
+                   F.concat(F.lit(" reach user"), did.cast("string"),
+                            F.lit("@example.org"))).otherwise(F.lit("")),
+            F.when(did % 2 == 0,
+                   F.concat(F.lit(" from 10."),
+                            (did % 200).cast("string"), F.lit("."),
+                            (did % 250).cast("string"), F.lit("."),
+                            (did % 256).cast("string"))).otherwise(F.lit("")),
+            F.lit(" call +1-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ).alias("t"))
+    return X.pii_scrub(injected, "t", "doc_id")

@@ -475,3 +475,59 @@ def test_chunk_exact_dedup_invariants(spark, sf_dir):
            chunk_exact_dedup(rep, "text", "doc_id", 4).collect()}
     assert got[1]["n_dropped"] == 0 and got[2]["n_dropped"] == 1
     assert got[2]["kept_md5"] == hashlib.md5(b"p q r s").hexdigest()
+
+
+def test_pii_scrub_removes_every_match(spark):
+    """After masking, no PII pattern matches anywhere; counts and span
+    boundaries are exact (adjacent text is untouched)."""
+    from ecommerce_data_engineering_spark.operators.text import (
+        PII_PATTERNS, pii_scrub)
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co and 10.1.2.3 then call +1-555-0100 ok"),
+         (2, "no pii here at all"),
+         (3, "two mails p@q.io r@s.de and 255.255.255.255")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_scrub(df, "text", "doc_id").collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (2, 1, 0)
+
+    import hashlib
+    exp1 = "mail <EMAIL> and <IPV4> then call <PHONE> ok"
+    assert out[1]["redacted_md5"] == hashlib.md5(exp1.encode()).hexdigest()
+
+    # re-scrubbing the masked text finds nothing (masks are stable)
+    masked = spark.createDataFrame(
+        [(1, exp1), (3, "two mails <EMAIL> <EMAIL> and <IPV4>")],
+        ["doc_id", "text"])
+    again = pii_scrub(masked, "text", "doc_id").collect()
+    assert all(r["n_email"] == r["n_ipv4"] == r["n_phone"] == 0
+               for r in again)
+    assert set(PII_PATTERNS) == {"email", "ipv4", "phone"}
+
+
+def test_shard_assignment_is_contiguous_permutation(spark, sf_dir):
+    """Every doc is assigned exactly once; positions within a shard
+    are contiguous 1..n; assignment is run-to-run deterministic."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    fn = REGISTRY["corpus_shard_assignment"].fn
+    out = fn(spark, sf_dir).cache()
+    n_docs = out.count()
+    from ecommerce_data_engineering_spark.sources import load
+    assert n_docs == load(spark, sf_dir, "documents").count()
+    assert out.select("doc_id").distinct().count() == n_docs
+
+    per_shard = (out.groupBy("shard")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.min("shard_pos").alias("lo"),
+                      F.max("shard_pos").alias("hi"),
+                      F.count_distinct("shard_pos").alias("nd"))
+                 .collect())
+    for r in per_shard:
+        assert (r["lo"], r["hi"], r["nd"]) == (1, r["n"], r["n"])
+
+    again = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert sorted(map(tuple, out.collect())) == again
+    out.unpersist()
