@@ -277,50 +277,87 @@ def chunk_exact_dedup(df: DataFrame, text_col: str, id_col: str,
     ``kept_md5`` — the md5 of the space-joined surviving chunks, which
     pins the *exact reassembled text* (order included) cross-engine.
 
-    Scale: the only frames that shuffle carry ``(chunk_md5, doc, pos)``
-    triples — never document bodies.  Stage 1 groups by chunk hash to
-    find each chunk's global count and first occurrence (map-side
-    partial aggregation does the heavy lifting; duplicated chunks are
-    a small minority of a real corpus).  Stage 2 joins the verdicts
-    back by chunk hash (AQE chooses broadcast when the duplicated-set
-    is small, which at 100 TB it is relative to the corpus) and stage 3
-    regroups by document to reassemble.  No window over the whole
-    corpus, no driver state, no skew beyond a hot chunk — which is
-    exactly one reduce key.
+    Scale: document bodies never enter a shuffle.  Stage 1 explodes
+    only ``(doc, pos, chunk_md5)`` triples and groups by hash to find
+    each chunk's global count and first sighting (map-side partial
+    aggregation absorbs the volume; a boilerplate hot chunk is exactly
+    one reduce key).  Stage 2 distills the DROPPED occurrences — a
+    small minority of a real corpus — into one position-list row per
+    affected document.  Stage 3 joins that list back to the original
+    rows by document id (AQE picks broadcast while the drop-list is
+    small; past broadcast size it is still a join of position lists,
+    not text) and filters + reassembles the chunk array *in place* on
+    the row — no regroup of exploded text, no window over the corpus,
+    no driver state.
     """
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     n = chunk_words
-    chunks = (df.select(F.col(id_col), w.alias("_w"))
-              .select(
-                  id_col,
-                  # sequence(1, 0) in Spark is [1, 0] (it infers step -1
-                  # when start > stop), so the <n-word doc needs a guard
-                  F.expr(
-                      f"CASE WHEN size(_w) >= {n} THEN"
-                      f" transform(sequence(1, CAST(floor(size(_w)/{n}) AS INT)),"
-                      f"   i -> array_join(slice(_w, (i-1)*{n} + 1, {n}), ' '))"
-                      f" ELSE CAST(array() AS array<string>) END"
-                  ).alias("_chunks"))
-              .select(id_col, F.posexplode("_chunks").alias("pos", "chunk")))
-    hashed = chunks.withColumn("_h", F.md5("chunk"))
-    verdicts = (hashed.groupBy("_h")
+    # sequence(1, 0) in Spark is [1, 0] (it infers step -1 when
+    # start > stop), so the <n-word doc needs a guard
+    chunk_arr = F.expr(
+        f"CASE WHEN size(_w) >= {n} THEN"
+        f" transform(sequence(1, CAST(floor(size(_w)/{n}) AS INT)),"
+        f"   i -> array_join(slice(_w, (i-1)*{n} + 1, {n}), ' '))"
+        f" ELSE CAST(array() AS array<string>) END")
+    staged = (df.select(F.col(id_col), w.alias("_w"))
+                .select(id_col, chunk_arr.alias("_chunks")))
+    hashes = staged.select(
+        id_col,
+        F.posexplode(F.transform("_chunks", F.md5)).alias("pos", "_h"))
+    verdicts = (hashes.groupBy("_h")
                 .agg(F.count(F.lit(1)).alias("_cnt"),
                      F.min(F.struct(F.col(id_col).alias("d"),
                                     F.col("pos").alias("p"))).alias("_keep")))
-    kept_flag = ((F.col("_cnt") == 1)
-                 | ((F.col("_keep.d") == F.col(id_col))
-                    & (F.col("_keep.p") == F.col("pos"))))
-    marked = (hashed.join(verdicts, "_h")
-              .select(id_col, "pos", "chunk", kept_flag.alias("_kept")))
-    return (marked.groupBy(id_col)
-            .agg(
-                F.count(F.lit(1)).alias("n_chunks"),
-                F.count_if(~F.col("_kept")).alias("n_dropped"),
-                F.md5(F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.when(F.col("_kept"),
-                                   F.struct(F.col("pos"), F.col("chunk"))))),
-                        lambda s: s.chunk),
-                    " ")).alias("kept_md5"),
+    dropped = (hashes.join(verdicts, "_h")
+               .filter((F.col("_cnt") > 1)
+                       & ~((F.col("_keep.d") == F.col(id_col))
+                           & (F.col("_keep.p") == F.col("pos"))))
+               .select(id_col, "pos"))
+    drops = (dropped.groupBy(id_col)
+             .agg(F.collect_set("pos").alias("_drop")))
+    kept = F.expr("CASE WHEN _drop IS NULL THEN _chunks"
+                  " ELSE filter(_chunks, (c, i) ->"
+                  "   NOT array_contains(_drop, i)) END")
+    return (staged.join(drops, id_col, "left")
+            .select(
+                id_col,
+                F.size("_chunks").cast("bigint").alias("n_chunks"),
+                F.coalesce(F.size("_drop"), F.lit(0)).cast("bigint")
+                    .alias("n_dropped"),
+                F.md5(F.array_join(kept, " ")).alias("kept_md5"),
             ))
+
+
+def intradoc_chunk_dedup(df: DataFrame, text_col: str, id_col: str,
+                         chunk_words: int = 4) -> DataFrame:
+    """Within-document repetition removal: drop every repeat of a
+    ``chunk_words``-word chunk *inside the same document*, keeping the
+    first occurrence — the cheap, shuffle-free sibling of
+    :func:`chunk_exact_dedup` (which dedups corpus-wide).  Production
+    pipelines run this tier first: it is a stateless projection, so at
+    100 TB it executes inside the file scan with zero shuffle, zero
+    state, and prunes the repetition-heavy bulk before any
+    corpus-wide stage pays shuffle for it.
+
+    Same output contract as the corpus-wide pass: ``n_chunks``,
+    ``n_dropped``, ``kept_md5`` of the reassembled document.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n = chunk_words
+    staged = df.select(
+        F.col(id_col), w.alias("_w")).select(
+        id_col,
+        F.expr(
+            f"CASE WHEN size(_w) >= {n} THEN"
+            f" transform(sequence(1, CAST(floor(size(_w)/{n}) AS INT)),"
+            f"   i -> array_join(slice(_w, (i-1)*{n} + 1, {n}), ' '))"
+            f" ELSE CAST(array() AS array<string>) END"
+        ).alias("_chunks"))
+    # first-occurrence filter: array_position is the 1-based FIRST index
+    kept = F.expr("filter(_chunks, (c, i) -> array_position(_chunks, c) = i + 1)")
+    return staged.select(
+        id_col,
+        F.size("_chunks").cast("bigint").alias("n_chunks"),
+        (F.size("_chunks") - F.size(kept)).cast("bigint").alias("n_dropped"),
+        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
+    )

@@ -545,3 +545,94 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (hashed.withColumn("shard", shard)
             .select("doc_id", "shard",
                     F.row_number().over(w).cast("bigint").alias("shard_pos")))
+
+
+TOKEN_TOPK = 25
+
+
+@query(
+    "corpus_token_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, count(*) AS n_occurrences FROM toks GROUP BY token
+    )
+    SELECT token, n_occurrences,
+           CAST(rank() OVER (ORDER BY n_occurrences DESC, token)
+                AS BIGINT) AS rank
+    FROM freq
+    ORDER BY n_occurrences DESC, token LIMIT {TOKEN_TOPK}
+    """,
+    covers=("EXT-text", "EXT-curation"),
+)
+def corpus_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-k — the vocabulary census run
+    before tokenizer training / stop-token selection.
+
+    The canonical skewed-huge-keyspace aggregation: explode tokens
+    (map-side), groupBy(token) with partial aggregation so each
+    executor pre-sums its local counts (the hot token arrives at its
+    reducer as ONE partial row per map task, not one row per
+    occurrence — hash-agg absorbs the Zipf skew), then
+    TakeOrderedAndProject for the global top-k: no global window, no
+    single hot partition (operators/topk.distributed_topk).  Rank is
+    computed over the ≤k survivors."""
+    from ..operators.topk import distributed_topk
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                 lambda x: x != "")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    from pyspark.sql import Window
+
+    top = distributed_topk(
+        freq, [F.desc("n_occurrences"), F.asc("token")], TOKEN_TOPK)
+    rank = F.rank().over(
+        Window.orderBy(F.desc("n_occurrences"), F.asc("token")))
+    return top.select("token", "n_occurrences",
+                      rank.cast("bigint").alias("rank"))
+
+
+@query(
+    "corpus_intradoc_dedup",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), chunked AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= {CHUNK_WORDS} THEN
+               list_transform(range(CAST(floor(len(w)/{CHUNK_WORDS}) AS BIGINT)),
+                 i -> array_to_string(
+                   w[(i*{CHUNK_WORDS}+1):(i*{CHUNK_WORDS}+{CHUNK_WORDS})], ' '))
+             ELSE [] END AS ch
+      FROM words
+    )
+    SELECT doc_id,
+           CAST(len(ch) AS BIGINT) AS n_chunks,
+           CAST(len(ch) - len(list_filter(ch,
+             (c, i) -> list_position(ch, c) = i)) AS BIGINT) AS n_dropped,
+           md5(array_to_string(list_filter(ch,
+             (c, i) -> list_position(ch, c) = i), ' ')) AS kept_md5
+    FROM chunked
+    """,
+    covers=("EXT-dedup", "EXT-curation"),
+)
+def corpus_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-span removal
+    (operators/dedup.intradoc_chunk_dedup): keep each 4-word chunk's
+    first occurrence inside its own document.  The zero-shuffle tier
+    of the dedup ladder — a pure projection that runs inside the scan,
+    ordered before the corpus-wide stages exactly because it is free
+    at 100 TB.  DuckDB's lambda index is 1-based where Spark's is
+    0-based; both oracles pin the reassembled text by md5."""
+    from ..operators import dedup as D
+    docs = load(spark, sf_dir, "documents")
+    return D.intradoc_chunk_dedup(docs, "text", "doc_id",
+                                  chunk_words=CHUNK_WORDS)

@@ -531,3 +531,27 @@ def test_shard_assignment_is_contiguous_permutation(spark, sf_dir):
     again = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert sorted(map(tuple, out.collect())) == again
     out.unpersist()
+
+
+def test_intradoc_chunk_dedup_is_zero_shuffle_projection(spark):
+    """Within-doc repeats drop (first occurrence survives), cross-doc
+    repeats do NOT; the physical plan has no Exchange — the operator
+    must stay a stateless projection so it can run inside the scan."""
+    from ecommerce_data_engineering_spark.operators.dedup import (
+        intradoc_chunk_dedup)
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "a b c d p q r s a b c d"),       # chunk 'a b c d' twice
+         (2, "a b c d x y z w")],              # same chunk, other doc
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           intradoc_chunk_dedup(df, "text", "doc_id", 4).collect()}
+    assert out[1]["n_dropped"] == 1
+    assert out[1]["kept_md5"] == hashlib.md5(
+        b"a b c d p q r s").hexdigest()
+    assert out[2]["n_dropped"] == 0          # cross-doc repeat untouched
+
+    plan = intradoc_chunk_dedup(df, "text", "doc_id", 4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
