@@ -11,7 +11,7 @@ KEY = ["pricing_summary", "revenue_by_nation", "top_products",
        "embedding_cosine_topk", "customer_metrics", "fact_orders_upsert",
        "corpus_deterministic_sample", "corpus_sequence_packing",
        "corpus_curation_funnel", "corpus_decontaminate",
-       "corpus_mix_rebalance"]
+       "corpus_mix_rebalance", "corpus_chunk_dedup"]
 
 # Plan-shape commentary kept alongside the regenerated plans (the
 # script owns these so re-running never loses them).
@@ -39,6 +39,12 @@ NOTES = {
     "corpus_mix_rebalance": (
         "One groupBy(source) with map-side partials plus a 1-row scalar "
         "broadcast cross for the total — the corpus is scanned once."),
+    "corpus_chunk_dedup": (
+        "Document text never shuffles: two narrow Exchanges only — "
+        "groupBy(chunk md5) for global count + first sighting, and the "
+        "dropped-position regroup by doc id; reassembly filters the "
+        "chunk array in place on the original row.  Pinned in "
+        "tests/test_physical.py::test_chunk_dedup_shuffles_positions_not_text."),
 }
 
 

@@ -279,3 +279,24 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
             prior)
+
+
+def test_chunk_dedup_shuffles_positions_not_text(spark, sf_dir):
+    """Corpus-wide span dedup must never move document text through a
+    shuffle: the single shuffle Exchange is the dropped-position
+    regroup (doc_id → collect_set(pos)); chunk text exists only in the
+    scan-side projections and the final in-place reassembly."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    df = REGISTRY["corpus_chunk_dedup"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # exactly two narrow shuffles: verdicts groupBy(chunk md5) and the
+    # dropped-position regroup by doc id
+    parts = final.split("Exchange hashpartitioning")
+    assert len(parts) == 3, final[:1500]
+    for seg in parts[1:]:
+        shuffle_child = seg.split("\n")[1]
+        assert "text" not in shuffle_child and "_chunks" not in shuffle_child, \
+            shuffle_child
