@@ -117,11 +117,50 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame, id_col: str,
                    threshold: float) -> DataFrame:
-    """Exact Jaccard on shingle sets for candidate pairs only."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (pairs.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+    """Exact Jaccard on shingle sets for candidate pairs only.
+
+    Two reductions before the intersection join pays anything:
+
+    - the shingle table is semi-joined down to CANDIDATE documents
+      first (the candidate-id set is tiny relative to the corpus, so
+      AQE broadcasts it and the full shingle table never re-shuffles);
+    - shingle strings compress to 60-bit md5-prefix keys, so the
+      composite-key shuffle moves longs, not n-gram text (the same
+      compression the decontamination join uses; a cross-doc 60-bit
+      collision is ~2^-60 per shingle pair — far below the engines'
+      own float rounding guard).
+
+    At fixture scale this is roughly cost-neutral end-to-end (the two
+    eager checkpoints serialize what was one parallel job), but the
+    shape is what survives a 100 TB corpus: the old plan re-shuffled
+    the ENTIRE shingle table on (id, shingle-string) for the
+    intersection join; this one moves only candidate-doc long keys.
+    """
+    # pairs has three consumers (the id-set projection twice + the
+    # intersection join); without a materialization barrier the whole
+    # LSH candidate pipeline upstream re-executes per consumer.
+    # persist (not localCheckpoint): CacheManager dedups the identical
+    # plan across invocations, so a long-lived session reuses one
+    # entry per (session, input) instead of accumulating checkpoint
+    # RDDs per call — pinned by
+    # test_minhash_repeat_invocations_reuse_one_cache_entry.
+    pairs = pairs.persist()
+    ids = (pairs.select(F.col("id_a").alias(id_col))
+           .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    # candidate-doc shingle keys also feed three consumers (sizes +
+    # the two sides of the intersection join) — persist so the
+    # semi-join + hashing pass over the corpus runs once, not three
+    # times.  Bounded by candidate-doc count, not corpus size.
+    csh = (shingles.join(ids, id_col, "left_semi")
+           .select(F.col(id_col),
+                   F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+                    .cast("long").alias("sk"))
+           .persist())
+    sizes = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = csh.select(F.col(id_col).alias("id_a"), "sk")
+    sb = csh.select(F.col(id_col).alias("id_b"), "sk")
+    inter = (pairs.join(sa, "id_a").join(sb, ["id_b", "sk"])
                   .groupBy("id_a", "id_b")
                   .agg(F.count(F.lit(1)).alias("n_common")))
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
