@@ -158,3 +158,78 @@ def sql_split_case(id_expr: str, splits: dict[str, float],
         parts.append(f"WHEN {sql_bucket(id_expr, seed)} < "
                      f"'{thr}' THEN '{label}'")
     return f"CASE {' '.join(parts)} ELSE '{labels[-1]}' END"
+
+
+def epoch_factor_columns(id_col: Column | str, stratum_col: Column | str,
+                         factors: dict[str, float], default: float = 1.0,
+                         seed: int = 0) -> Column:
+    """Per-row integer copy count implementing fractional epoch
+    upsampling (the LLaMA/Pile mixture trick: a source with factor 2.5
+    ships every document twice, plus a deterministic half of them a
+    third time).
+
+    copies = floor(factor) + (1 if hash(id) < frac(factor) else 0) —
+    membership in the fractional extra copy is the same md5-threshold
+    predicate as sampling, so re-runs and the DuckDB oracle agree
+    row-for-row, and a document's copy count never changes as the
+    corpus grows.
+    """
+    c = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    base_expr: Column | None = None
+    frac_expr: Column | None = None
+    for stratum, f in factors.items():
+        base, frac = int(f), round(f - int(f), 9)
+        thr = threshold_hex(frac) if frac > 0 else "0" * _HEX_WIDTH
+        cond = c == F.lit(stratum)
+        base_expr = (F.when(cond, F.lit(base)) if base_expr is None
+                     else base_expr.when(cond, F.lit(base)))
+        frac_expr = (F.when(cond, F.lit(thr)) if frac_expr is None
+                     else frac_expr.when(cond, F.lit(thr)))
+    dbase, dfrac = int(default), round(default - int(default), 9)
+    dthr = threshold_hex(dfrac) if dfrac > 0 else "0" * _HEX_WIDTH
+    base_expr = F.lit(dbase) if base_expr is None else base_expr.otherwise(F.lit(dbase))
+    frac_expr = F.lit(dthr) if frac_expr is None else frac_expr.otherwise(F.lit(dthr))
+    extra = (hash_bucket_hex(id_col, seed) < frac_expr).cast("int")
+    return (base_expr + extra).cast("int")
+
+
+def epoch_upsample(df: DataFrame, id_col: str, stratum_col: str,
+                   factors: dict[str, float], default: float = 1.0,
+                   seed: int = 0, copy_col: str = "epoch_copy") -> DataFrame:
+    """Materialize the upsampled corpus: one output row per copy, with
+    ``copy_col`` numbering 1..n_copies.  A stateless explode whose
+    fan-out is the (small) epoch factor — scan-shaped, no shuffle; at
+    100 TB the duplication happens inside the scan projection and
+    flows straight to the sink/packer.
+
+    Rows whose copy count is 0 (factor < 1 and hash outside the
+    fraction) are dropped — fractional factors below 1 double as
+    deterministic downsampling.
+    """
+    n = epoch_factor_columns(id_col, stratum_col, factors, default, seed)
+    return (df.withColumn("_n_copies", n)
+              .filter(F.col("_n_copies") > 0)
+              .withColumn(copy_col,
+                          F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+              .drop("_n_copies"))
+
+
+def sql_epoch_factor(id_expr: str, stratum_expr: str,
+                     factors: dict[str, float], default: float = 1.0,
+                     seed: int = 0) -> str:
+    """DuckDB twin of :func:`epoch_factor_columns`."""
+    def one(f: float) -> tuple[int, str]:
+        base, frac = int(f), round(f - int(f), 9)
+        return base, (threshold_hex(frac) if frac > 0 else "0" * _HEX_WIDTH)
+
+    base_whens = " ".join(
+        f"WHEN {stratum_expr} = '{s}' THEN {one(f)[0]}"
+        for s, f in factors.items())
+    frac_whens = " ".join(
+        f"WHEN {stratum_expr} = '{s}' THEN '{one(f)[1]}'"
+        for s, f in factors.items())
+    dbase, dthr = one(default)
+    base = (f"CASE {base_whens} ELSE {dbase} END" if base_whens else f"{dbase}")
+    frac = (f"CASE {frac_whens} ELSE '{dthr}' END" if frac_whens else f"'{dthr}'")
+    return (f"({base} + CASE WHEN {sql_bucket(id_expr, seed)} < {frac} "
+            f"THEN 1 ELSE 0 END)")

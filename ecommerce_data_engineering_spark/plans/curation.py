@@ -636,3 +636,60 @@ def corpus_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.intradoc_chunk_dedup(docs, "text", "doc_id",
                                   chunk_words=CHUNK_WORDS)
+
+
+# epoch factors by source-suffix mod 3: downsample / keep / upsample —
+# enumerated (not computed in SQL) so Spark and oracle share one map
+EPOCH_FACTORS = (0.5, 1.0, 2.5)
+EPOCH_SEED = 31
+
+
+def _epoch_factor_map() -> dict[str, float]:
+    return {f"src{i}": EPOCH_FACTORS[i % len(EPOCH_FACTORS)]
+            for i in range(40)}
+
+
+@query(
+    "corpus_epoch_upsampling",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             {SP.sql_epoch_factor('doc_id', 'source', _epoch_factor_map(),
+                                  1.0, EPOCH_SEED)} AS n_copies
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_copies_total,
+           count(*) FILTER (WHERE n_copies = 0) AS n_dropped,
+           floor(CAST(sum(n_copies) AS DOUBLE) / count(*) * 10000 + 0.5)
+             / 10000 AS realized_factor
+    FROM per_doc GROUP BY source
+    """,
+    covers=("EXT-curation",),
+)
+def corpus_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional epoch upsampling audit
+    (operators/sampling.epoch_factor_columns): per-source repeat
+    factors (0.5 / 1.0 / 2.5 by source suffix) resolve to an exact
+    integer copy count per document — floor(factor) plus a
+    hash-deterministic extra copy for the fractional part, so factor
+    0.5 doubles as deterministic downsampling.  The
+    LLaMA/Pile-style "epochs over high-quality sources" mixture knob,
+    reproducible across runs and engines.
+
+    Scale: a stateless per-row expression aggregated by source; the
+    materializing twin (operators/sampling.epoch_upsample) explodes
+    copies inside the scan projection — no shuffle either way."""
+    from ..functions.rounding import pround
+
+    docs = load(spark, sf_dir, "documents")
+    n = SP.epoch_factor_columns("doc_id", "source", _epoch_factor_map(),
+                                default=1.0, seed=EPOCH_SEED)
+    return (docs.select("source", n.alias("n_copies"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_copies").cast("bigint").alias("n_copies_total"),
+                 F.count_if(F.col("n_copies") == 0).alias("n_dropped"),
+                 pround(F.sum("n_copies").cast("double")
+                        / F.count(F.lit(1)), 4).alias("realized_factor")))

@@ -31,7 +31,11 @@ NOTES = {
     "dedup_minhash_lsh": (
         "Signatures use one 28-bit md5 digest per shingle fed through a "
         "universal-hash family (a_i*x+b_i mod 2^31-1) — 8x fewer digests "
-        "than salted-md5 minhash on the exploded shingle frame."),
+        "than salted-md5 minhash on the exploded shingle frame.  "
+        "Jaccard verification semi-joins shingles down to candidate "
+        "documents (broadcast id set) and compresses shingles to 60-bit "
+        "long keys, so the corpus shingle table is never re-shuffled "
+        "for the intersection join."),
     "corpus_decontaminate": (
         "Shingles compress to 64-bit md5-prefix keys before the join; "
         "with a benchmark-sized eval set the eval side auto-broadcasts "

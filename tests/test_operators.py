@@ -555,3 +555,38 @@ def test_intradoc_chunk_dedup_is_zero_shuffle_projection(spark):
     plan = intradoc_chunk_dedup(df, "text", "doc_id", 4) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_epoch_upsample_materializes_exact_copy_counts(spark, sf_dir):
+    """The exploded corpus has exactly sum(n_copies) rows, copies are
+    numbered 1..n, zero-copy docs vanish (fractional factor < 1 =
+    deterministic downsampling), and the realized factor converges on
+    the configured factor for uniform hashing."""
+    from ecommerce_data_engineering_spark.operators.sampling import (
+        epoch_factor_columns, epoch_upsample)
+    from ecommerce_data_engineering_spark.sources import load
+
+    factors = {"src0": 0.5, "src1": 2.5}
+    docs = load(spark, sf_dir, "documents")
+    n = epoch_factor_columns("doc_id", "source", factors,
+                             default=1.0, seed=31)
+    audited = docs.select("doc_id", "source", n.alias("n"))
+    expected_rows = audited.agg(F.sum("n")).collect()[0][0]
+    up = epoch_upsample(docs, "doc_id", "source", factors,
+                        default=1.0, seed=31)
+    assert up.count() == expected_rows
+
+    per_doc = (up.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.max("epoch_copy").alias("mx"),
+                    F.min("epoch_copy").alias("mn")).collect())
+    assert all(r["mn"] == 1 and r["mx"] == r["n"] for r in per_doc)
+
+    stats = {r["source"]: r for r in
+             (audited.groupBy("source")
+              .agg(F.avg("n").alias("f"),
+                   F.count_if(F.col("n") == 0).alias("zeros"))
+              .collect()) if r["source"] in factors}
+    assert 0.3 < stats["src0"]["f"] < 0.7          # ≈ 0.5
+    assert 2.2 < stats["src1"]["f"] < 2.8          # ≈ 2.5
+    assert stats["src0"]["zeros"] > 0              # real downsampling
