@@ -72,6 +72,23 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
                .filter(F.col("rn") <= k))
 
 
+def rademacher_weights(num_planes: int, dim: int) -> list[list[float]]:
+    """±1 plane weights, weight_j of plane p = +1 iff the first hex
+    nibble of md5("p_j") is >= 8.
+
+    Derived ONCE driver-side (hashlib.md5 of an ASCII string is
+    bit-identical to every engine's md5), then inlined as literals —
+    the signature expression itself never hashes anything at runtime.
+    """
+    import hashlib
+
+    return [
+        [1.0 if int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[0], 16) >= 8
+         else -1.0 for j in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
 def hyperplane_sign_bits(df: DataFrame, vec_col: str, num_planes: int,
                          dim: int, out_col: str = "bucket") -> DataFrame:
     """Random-hyperplane signature as a '0'/'1' string of length H.
@@ -79,20 +96,23 @@ def hyperplane_sign_bits(df: DataFrame, vec_col: str, num_planes: int,
     Plane weights are ±1 derived from md5(plane‖dim) — deterministic,
     shared by every engine, and good enough for sign-LSH (Rademacher
     planes satisfy the Johnson–Lindenstrauss-style guarantees used by
-    SimHash/sign-LSH in practice).
+    SimHash/sign-LSH in practice).  The weights are precomputed as
+    literal arrays (:func:`rademacher_weights`), so the per-row work is
+    one fused multiply-add over the vector per plane — H·d md5 calls
+    per ROW (the naive form, ~384 hashes/row at H=6, d=64) become H·d
+    hashes per QUERY PLAN, computed once on the driver.
     """
-    def plane_dot(p: int):
-        # weight_j = +1 if first md5 nibble of "p_j" >= 8 else -1
-        terms = F.expr(
-            "aggregate(zip_with(slice({v}, 1, {d}), sequence(0, {d}-1), "
-            "(x, j) -> CASE WHEN instr('0123456789abcdef', "
-            "substring(md5(concat('{p}', '_', cast(j as string))), 1, 1)) - 1 >= 8 "
-            "THEN cast(x as double) ELSE -cast(x as double) END), "
-            "cast(0.0 as double), (acc, x) -> acc + x)".format(v=vec_col, d=dim, p=p)
-        )
+    weights = rademacher_weights(num_planes, dim)
+
+    def plane_dot(ws: list[float]):
+        arr = F.array(*[F.lit(w) for w in ws])
+        terms = F.aggregate(
+            F.zip_with(F.slice(F.col(vec_col), 1, dim), arr,
+                       lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, x: acc + x)
         return F.when(pround(terms, 9) > 0, F.lit("1")).otherwise(F.lit("0"))
 
-    return df.withColumn(out_col, F.concat(*[plane_dot(p) for p in range(num_planes)]))
+    return df.withColumn(out_col, F.concat(*[plane_dot(ws) for ws in weights]))
 
 
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,

@@ -311,16 +311,26 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, ANN_K)
 
 
+def _planes_cte() -> str:
+    """The precomputed ±1 plane weights (operators/similarity.
+    rademacher_weights — same md5 derivation both engines used to
+    recompute per row) as a DuckDB VALUES table (p, w DOUBLE[])."""
+    from ..operators.similarity import rademacher_weights
+
+    rows = ", ".join(
+        f"({p}, [{', '.join(str(w) for w in ws)}]::DOUBLE[])"
+        for p, ws in enumerate(rademacher_weights(ANN_PLANES, EMB_DIM)))
+    return f"planes AS (SELECT * FROM (VALUES {rows}) AS t(p, w))"
+
+
 def _ann_lsh_oracle() -> str:
     return f"""
     WITH {_VEC_CTE},
-    planes AS (SELECT unnest(generate_series(0, {ANN_PLANES - 1})) AS p),
+    {_planes_cte()},
     sb AS (
       SELECT v.vec_id, planes.p,
-             CASE WHEN floor((sum(v.x * (CASE WHEN
-                    strpos('0123456789abcdef',
-                           substr(md5(planes.p || '_' || CAST(v.i - 1 AS VARCHAR)), 1, 1)) - 1 >= 8
-                    THEN 1 ELSE -1 END))) * 1000000000 + 0.5) / 1000000000 > 0
+             CASE WHEN floor(sum(v.x * planes.w[v.i]) * 1000000000 + 0.5)
+                       / 1000000000 > 0
                   THEN '1' ELSE '0' END AS bit
       FROM v CROSS JOIN planes
       GROUP BY v.vec_id, planes.p
@@ -368,13 +378,11 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_lsh_mp_oracle() -> str:
     return f"""
     WITH {_VEC_CTE},
-    planes AS (SELECT unnest(generate_series(0, {ANN_PLANES - 1})) AS p),
+    {_planes_cte()},
     sb AS (
       SELECT v.vec_id, planes.p,
-             CASE WHEN floor((sum(v.x * (CASE WHEN
-                    strpos('0123456789abcdef',
-                           substr(md5(planes.p || '_' || CAST(v.i - 1 AS VARCHAR)), 1, 1)) - 1 >= 8
-                    THEN 1 ELSE -1 END))) * 1000000000 + 0.5) / 1000000000 > 0
+             CASE WHEN floor(sum(v.x * planes.w[v.i]) * 1000000000 + 0.5)
+                       / 1000000000 > 0
                   THEN '1' ELSE '0' END AS bit
       FROM v CROSS JOIN planes
       GROUP BY v.vec_id, planes.p
