@@ -8,7 +8,8 @@ from ecommerce_data_engineering_spark.plans import REGISTRY
 
 KEY = ["pricing_summary", "revenue_by_nation", "top_products",
        "campaign_attribution_scalable", "dedup_minhash_lsh",
-       "embedding_cosine_topk", "customer_metrics", "fact_orders_upsert",
+       "embedding_cosine_topk", "embedding_ann_lsh",
+       "customer_metrics", "fact_orders_upsert",
        "corpus_deterministic_sample", "corpus_sequence_packing",
        "corpus_curation_funnel", "corpus_decontaminate",
        "corpus_mix_rebalance", "corpus_chunk_dedup"]
@@ -36,6 +37,14 @@ NOTES = {
         "documents (broadcast id set) and compresses shingles to 60-bit "
         "long keys, so the corpus shingle table is never re-shuffled "
         "for the intersection join."),
+    "embedding_ann_lsh": (
+        "Sign-LSH bucketing: the ±1 hyperplane weights are md5-derived "
+        "but precomputed driver-side and inlined as literal arrays "
+        "(operators/similarity.rademacher_weights), so the signature is "
+        "one multiply-add pass per plane with ZERO per-row hashing — "
+        "the plan shows plain array literals, no md5 call.  Bucket "
+        "equi-join, exact cosine within buckets, per-query window "
+        "top-k; never all-pairs."),
     "corpus_decontaminate": (
         "Shingles compress to 64-bit md5-prefix keys before the join; "
         "with a benchmark-sized eval set the eval side auto-broadcasts "
