@@ -472,14 +472,23 @@ CHUNK_WORDS = 4          # C4 uses 3-sentence spans; word-salad fixtures
              row_number() OVER (PARTITION BY chunk
                                 ORDER BY doc_id, pos) AS rn
       FROM chunks
+    ), agg AS (
+      SELECT doc_id,
+             count(*) AS n_chunks,
+             count(*) FILTER (WHERE cnt > 1 AND rn > 1) AS n_dropped,
+             md5(coalesce(
+               string_agg(chunk, ' ' ORDER BY pos)
+                 FILTER (WHERE cnt = 1 OR rn = 1), '')) AS kept_md5
+      FROM marked GROUP BY doc_id
     )
-    SELECT doc_id,
-           count(*) AS n_chunks,
-           count(*) FILTER (WHERE cnt > 1 AND rn > 1) AS n_dropped,
-           md5(coalesce(
-             string_agg(chunk, ' ' ORDER BY pos)
-               FILTER (WHERE cnt = 1 OR rn = 1), '')) AS kept_md5
-    FROM marked GROUP BY doc_id
+    -- LEFT JOIN from words, not FROM marked: a document shorter than
+    -- one chunk has NO chunks rows (the lateral unnest over range(0)
+    -- is empty), but the Spark side still emits it with n_chunks = 0
+    SELECT w.doc_id,
+           COALESCE(a.n_chunks, 0) AS n_chunks,
+           COALESCE(a.n_dropped, 0) AS n_dropped,
+           COALESCE(a.kept_md5, md5('')) AS kept_md5
+    FROM words w LEFT JOIN agg a USING (doc_id)
     """,
     covers=("EXT-dedup", "EXT-curation"),
     bench=True,

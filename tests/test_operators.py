@@ -477,6 +477,39 @@ def test_chunk_exact_dedup_invariants(spark, sf_dir):
     assert got[2]["kept_md5"] == hashlib.md5(b"p q r s").hexdigest()
 
 
+def test_chunk_dedup_short_doc_agrees_cross_engine(spark):
+    """A document shorter than one chunk has zero chunks.  The Spark
+    operator emits it with n_chunks = 0; the oracle's lateral unnest
+    over range(0) produces no chunks row for it, so the oracle must
+    LEFT JOIN back to the documents to keep the row — this pins the
+    fixed oracle against the operator on exactly that input (the
+    fixtures contain no short document, so the driver never exercises
+    this path)."""
+    import duckdb
+    import hashlib
+
+    from ecommerce_data_engineering_spark.operators.dedup import (
+        chunk_exact_dedup)
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+    from .oracle import compare
+
+    rows = [(1, "only three words"), (2, "a b c d e f g h"),
+            (3, "a b c d x y z w")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_exact_dedup(docs, "text", "doc_id", chunk_words=4)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_chunks"] == 0 and got[1]["n_dropped"] == 0
+    assert got[1]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)")
+    oracle_pdf = con.execute(REGISTRY["corpus_chunk_dedup"].oracle).fetchdf()
+    oracle_pdf["doc_id"] = oracle_pdf["doc_id"].astype("int64")
+    assert compare(out, oracle_pdf, "chunk_dedup_short_doc") == []
+
+
 def test_pii_scrub_removes_every_match(spark):
     """After masking, no PII pattern matches anywhere; counts and span
     boundaries are exact (adjacent text is untouched)."""
