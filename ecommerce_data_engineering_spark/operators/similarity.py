@@ -35,13 +35,23 @@ def _dot(a: str, b: str):
 
 def with_norm(df: DataFrame, vec_col: str = "embedding",
               out_col: str = "norm") -> DataFrame:
-    """L2 norm, computed once per vector (reused across all pairs)."""
+    """L2 norm, computed once per vector (reused across all pairs).
+
+    Zero-norm vectors (all-zero or empty arrays) are DROPPED: cosine
+    against them is 0/0, which Spark evaluates to NULL while DuckDB
+    yields NaN — and NaN compares GREATER than everything in DuckDB's
+    ORDER BY/`>=`, so the two engines would rank/filter such pairs
+    differently.  Excluding them up front (mirrored by the oracles'
+    ``HAVING sum(x*x) > 0``) makes every downstream cosine defined and
+    cross-engine exact.  Fixture corpora contain none, so results are
+    unchanged there; the semantics are pinned by
+    test_zero_norm_vectors_excluded_from_similarity."""
     sq = F.aggregate(
         F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return df.withColumn(out_col, F.sqrt(sq))
+    return df.withColumn(out_col, F.sqrt(sq)).filter(F.col(out_col) > 0)
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,

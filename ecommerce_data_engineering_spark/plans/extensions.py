@@ -270,7 +270,12 @@ _VEC_CTE = """
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings
     ), norms AS (
+      -- HAVING drops zero-norm vectors: cosine against them is 0/0
+      -- (NaN here, NULL in Spark, ranked oppositely) — the Spark twin
+      -- excludes them in operators/similarity.with_norm, and every
+      -- cosine oracle below inner-joins norms, so both engines agree
       SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id
+      HAVING sum(x * x) > 0
     )
 """
 

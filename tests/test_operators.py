@@ -477,6 +477,39 @@ def test_chunk_exact_dedup_invariants(spark, sf_dir):
     assert got[2]["kept_md5"] == hashlib.md5(b"p q r s").hexdigest()
 
 
+def test_zero_norm_vectors_excluded_from_similarity(spark):
+    """Cosine against a zero-norm (all-zero or empty) vector is 0/0 —
+    NULL in Spark, NaN in DuckDB, and DuckDB ranks NaN above
+    everything — so both engines now DROP zero-norm vectors before any
+    cosine (with_norm filter / norms HAVING).  Fixtures contain none;
+    this pins the agreement on hand-built degenerate vectors."""
+    import duckdb
+
+    from ecommerce_data_engineering_spark.operators.similarity import (
+        cosine_topk, with_norm)
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+    from .oracle import compare
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]),
+            (3, []), (4, [1.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert {r.vec_id for r in with_norm(emb).collect()} == {0, 1, 4}
+
+    out = cosine_topk(emb, emb, k=5)
+    pairs = out.collect()
+    assert {r.query_id for r in pairs} == {0, 1, 4}
+    assert not [r for r in pairs if r.neighbor_id in (2, 3)]
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, [{', '.join(map(str, v))}]::DOUBLE[])" for i, v in rows)
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM (VALUES {vals}) AS t(vec_id, embedding)")
+    oracle_pdf = con.execute(
+        REGISTRY["embedding_cosine_topk"].oracle).fetchdf()
+    assert compare(out, oracle_pdf, "zero_norm_similarity") == []
+
+
 def test_chunk_dedup_short_doc_agrees_cross_engine(spark):
     """A document shorter than one chunk has zero chunks.  The Spark
     operator emits it with n_chunks = 0; the oracle's lateral unnest
