@@ -247,3 +247,61 @@ def test_gopher_gate_equals_gopher_quality_on_random_texts(spark, texts):
     got = {r.doc_id for r in
            df.filter(gopher_gate("text")).select("doc_id").collect()}
     assert got == want
+
+
+def test_split_and_epoch_sql_twins_cross_engine_fuzz(spark):
+    """Randomized Spark-vs-DuckDB evaluation of the sampling SQL twins:
+    for random split dicts, stratified rates, and epoch factor maps,
+    the Spark expression builders (split_column / stratified_predicate
+    / epoch_factor_columns) and their sql_* twins must assign the
+    identical label / membership / copy count to every id.  The
+    registered curation queries exercise one fixed configuration; this
+    fuzzes the builders across the parameter space (seeds included)."""
+    import random
+
+    from ecommerce_data_engineering_spark.operators import sampling as SP
+
+    rnd = random.Random(20260814)
+    rows = [(f"doc{i}", f"src{i % 5}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    con = duckdb.connect()
+    vals = ", ".join(f"('{d}', '{s}')" for d, s in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) "
+                f"AS v(doc_id, source)")
+
+    for _ in range(4):
+        seed = rnd.randrange(10 ** 6)
+
+        fr = [rnd.random() + 0.01 for _ in range(3)]
+        scale = sum(fr) * (1.0 + rnd.random())          # cum stays < 1
+        splits = {lbl: f / scale for lbl, f in zip("abc", fr)}
+        got = {r.doc_id: r.s for r in df.select(
+            "doc_id",
+            SP.split_column("doc_id", splits, seed).alias("s")).collect()}
+        exp = dict(con.execute(
+            f"SELECT doc_id, {SP.sql_split_case('doc_id', splits, seed)} "
+            f"FROM t").fetchall())
+        assert got == exp
+
+        rates = {f"src{k}": rnd.choice([0.0, 0.2, 0.5, 0.9, 1.0])
+                 for k in range(4)}                      # src4 → default
+        default = rnd.choice([0.0, 0.3, 1.0])
+        got = {r.doc_id: r.m for r in df.select(
+            "doc_id",
+            SP.stratified_predicate("doc_id", "source", rates,
+                                    default, seed).alias("m")).collect()}
+        exp = {d: bool(m) for d, m in con.execute(
+            f"SELECT doc_id, {SP.sql_stratified_predicate('doc_id', 'source', rates, default, seed)} "
+            f"FROM t").fetchall()}
+        assert got == exp
+
+        factors = {f"src{k}": rnd.choice([0.0, 0.5, 1.0, 1.5, 2.5, 3.25])
+                   for k in range(4)}
+        got = {r.doc_id: r.n for r in df.select(
+            "doc_id",
+            SP.epoch_factor_columns("doc_id", "source", factors,
+                                    1.0, seed).alias("n")).collect()}
+        exp = dict(con.execute(
+            f"SELECT doc_id, {SP.sql_epoch_factor('doc_id', 'source', factors, 1.0, seed)} "
+            f"FROM t").fetchall())
+        assert got == exp
