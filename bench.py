@@ -49,6 +49,7 @@ def main() -> None:
     bench_queries = {n: s for n, s in REGISTRY.items() if s.bench}
 
     timings: dict[str, float] = {}
+    floors: dict[str, float] = {}
     spread: dict[str, float] = {}
     n_used: dict[str, int] = {}
     for name, spec in bench_queries.items():
@@ -80,6 +81,10 @@ def main() -> None:
                and len(samples) < MAX_SAMPLES):
             samples.append(_run())
         timings[name] = round(statistics.median(samples), 3)
+        # the min is the stall-robust floor: this box takes intermittent
+        # multi-second stalls that can cover a whole sampling window and
+        # poison even a median-of-7; min >> median divergence flags it
+        floors[name] = round(min(samples), 3)
         mid = sorted(samples)[(len(samples) - 3) // 2:][:3]
         spread[name] = round(max(mid) - min(mid), 3)
         n_used[name] = len(samples)
@@ -95,6 +100,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_samples": n_used,
         "spread": spread,
+        "min": floors,
     }
     prev = _prev_bench()
     if prev and prev.get("sf") == out["sf"] and prev.get("queries"):
