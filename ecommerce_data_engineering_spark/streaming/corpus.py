@@ -11,17 +11,30 @@ testable (tests/test_streaming.py).
 Exactly-once shape:
 - admitted docs write to ``out_path/epoch=N`` with overwrite — a batch
   retry rewrites its own epoch directory instead of duplicating rows;
-- the content-key registry publishes through the versioned-table
-  commit marker (sources/versioned.py), so a crash between the two
-  leaves the previous registry live and the retried batch re-admits
-  the same keys deterministically.
+- every registry key is tagged with the EPOCH that admitted it, and a
+  batch ignores keys tagged with its own epoch id when computing what
+  has been "seen".  That makes the fold idempotent across the WHOLE
+  batch, including the window after the registry publish but before
+  Spark commits the batch to the checkpoint: a replay of epoch N sees
+  its own failed attempt's keys, excludes them, recomputes the
+  identical admitted set, rewrites the identical epoch directory, and
+  republishes an identical registry version.  (A crash BEFORE the
+  publish trivially replays the same way — the registry is unchanged.)
+- the registry publishes through the versioned-table commit marker
+  (sources/versioned.py), so a reader never sees a half-written
+  registry version.
 
-Scale notes: the registry holds one 32-byte key per distinct document
-ever seen — compact, but republished per batch here; at 100 TB it
-becomes a bucketed keyer table (merge-on-read) or a Bloom-guarded
-store, and the per-epoch output directories become date-partitioned
-appends.  The per-batch joins are hash joins on the key column only —
-document bodies never shuffle.
+The registry and the streaming checkpoint share a lifetime: epoch ids
+come from the checkpoint, so reusing a registry with a FRESH
+checkpoint directory (epoch numbering restarts) is a misuse — start
+both empty together.
+
+Scale notes: the registry holds one 32-byte key + epoch long per
+distinct document ever seen — compact, but republished per batch here;
+at 100 TB it becomes a bucketed keyed table (merge-on-read) or a
+Bloom-guarded store, and the per-epoch output directories become
+date-partitioned appends.  The per-batch joins are hash joins on the
+key column only — document bodies never shuffle.
 """
 
 from __future__ import annotations
@@ -56,13 +69,22 @@ def curated_corpus_incremental(spark: SparkSession, src_dir: str,
                   .agg(F.min("doc_id").alias("doc_id")))
         batch_unique = keyed.join(firsts, ["content_key", "doc_id"])
         if V.current_version(sess, registry_path) is None:
+            seen = None
             fresh = batch_unique
-            merged_keys = fresh.select("content_key")
         else:
-            seen = V.read_current(sess, registry_path)
-            fresh = batch_unique.join(seen, "content_key", "left_anti")
-            merged_keys = seen.unionByName(
-                fresh.select("content_key")).distinct()
+            reg = V.read_current(sess, registry_path)
+            # a key tagged with THIS epoch id came from a failed attempt
+            # of this very batch — treating it as unseen is what makes
+            # the replay recompute the identical admitted set instead
+            # of overwriting the epoch directory with an empty one
+            seen = (reg.filter(F.col("epoch") != epoch_id)
+                    .select("content_key", "epoch"))
+            fresh = batch_unique.join(seen.select("content_key"),
+                                      "content_key", "left_anti")
+        fresh_keys = (fresh.select("content_key")
+                      .withColumn("epoch", F.lit(epoch_id)))
+        merged_keys = (fresh_keys if seen is None
+                       else seen.unionByName(fresh_keys))
         # register BEFORE gating: a rejected document's content stays
         # seen, exactly like the batch funnel (dedup keepers are chosen
         # from the full corpus, the gate filters afterward)
@@ -77,6 +99,12 @@ def curated_corpus_incremental(spark: SparkSession, src_dir: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # awaitTermination(timeout) returns False on timeout instead of
+        # raising; falling through would read epoch directories that a
+        # still-running query is actively overwriting
+        q.stop()
+        raise TimeoutError(
+            f"streaming corpus ingest did not finish within {timeout_s}s")
     return spark.read.option("basePath", out_path).parquet(
         f"{out_path.rstrip('/')}/epoch=*")

@@ -302,3 +302,71 @@ def test_streaming_corpus_recovers_from_publish_crash(spark, sf_dir,
             .filter(gopher_gate("text")).select("doc_id").collect()}
     assert got == want and len(want) > 0
     assert out.count() == out.select("doc_id").distinct().count()
+
+
+def test_streaming_corpus_recovers_from_post_publish_crash(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """Exactly-once through the WORST crash window: the registry
+    publish succeeds but the batch dies before Spark commits it to the
+    checkpoint.  The replayed batch then finds its own content keys
+    already registered; without the epoch-tagged registry it would
+    compute an empty fresh set and OVERWRITE its epoch directory with
+    an empty dataset (silent data loss).  With the tag, keys from the
+    batch's own failed attempt are excluded from 'seen', the identical
+    admitted set is recomputed, and the stream converges to the batch
+    dedup+gate result."""
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.operators import dedup as D
+    from ecommerce_data_engineering_spark.operators.text import gopher_gate
+    from ecommerce_data_engineering_spark.sources import load, versioned
+    from ecommerce_data_engineering_spark.streaming import (
+        curated_corpus_incremental)
+
+    docs = load(spark, sf_dir, "documents")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def write_single(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.copy(next(stage.glob("part-*.parquet")), src / name)
+
+    write_single(docs.filter(F.col("doc_id") <= cut), "p1.parquet")
+    time.sleep(1.1)
+    write_single(docs.filter(F.col("doc_id") > cut), "p2.parquet")
+
+    real_vacuum = versioned.vacuum
+    crashed = {"n": 0}
+
+    def crashing_vacuum(sess, root, *a, **kw):
+        # vacuum runs AFTER publish_version in the fold: raising here
+        # fails the batch in the post-publish, pre-checkpoint window
+        if "registry" in str(root) and crashed["n"] == 0:
+            crashed["n"] += 1
+            raise RuntimeError("simulated crash after registry publish")
+        return real_vacuum(sess, root, *a, **kw)
+
+    monkeypatch.setattr(versioned, "vacuum", crashing_vacuum)
+    with pytest.raises(Exception):
+        curated_corpus_incremental(
+            spark, str(src), str(tmp_path / "registry"),
+            str(tmp_path / "curated"), str(tmp_path / "ckpt"))
+    assert crashed["n"] == 1
+    monkeypatch.setattr(versioned, "vacuum", real_vacuum)
+
+    out = curated_corpus_incremental(
+        spark, str(src), str(tmp_path / "registry"),
+        str(tmp_path / "curated"), str(tmp_path / "ckpt"))
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    keepers = (D.exact_dedup(docs, "text", "doc_id")
+               .select(F.col("keeper_id").alias("doc_id")))
+    want = {r.doc_id for r in
+            docs.join(keepers, "doc_id", "left_semi")
+            .filter(gopher_gate("text")).select("doc_id").collect()}
+    assert got == want and len(want) > 0
+    assert out.count() == out.select("doc_id").distinct().count()
