@@ -178,19 +178,32 @@ def epoch_factor_columns(id_col: Column | str, stratum_col: Column | str,
     base_expr: Column | None = None
     frac_expr: Column | None = None
     for stratum, f in factors.items():
-        base, frac = int(f), round(f - int(f), 9)
-        thr = threshold_hex(frac) if frac > 0 else "0" * _HEX_WIDTH
+        base, thr = _epoch_base_and_threshold(f)
         cond = c == F.lit(stratum)
         base_expr = (F.when(cond, F.lit(base)) if base_expr is None
                      else base_expr.when(cond, F.lit(base)))
         frac_expr = (F.when(cond, F.lit(thr)) if frac_expr is None
                      else frac_expr.when(cond, F.lit(thr)))
-    dbase, dfrac = int(default), round(default - int(default), 9)
-    dthr = threshold_hex(dfrac) if dfrac > 0 else "0" * _HEX_WIDTH
+    dbase, dthr = _epoch_base_and_threshold(default)
     base_expr = F.lit(dbase) if base_expr is None else base_expr.otherwise(F.lit(dbase))
     frac_expr = F.lit(dthr) if frac_expr is None else frac_expr.otherwise(F.lit(dthr))
     extra = (hash_bucket_hex(id_col, seed) < frac_expr).cast("int")
     return (base_expr + extra).cast("int")
+
+
+def _epoch_base_and_threshold(factor: float) -> tuple[int, str]:
+    """(integer copies, fractional-extra hex threshold) for one epoch
+    factor.  A fractional part that ROUNDS to 1.0 (e.g. 2.9999999996)
+    must not reach threshold_hex(1.0) -> None — Spark would compare
+    against NULL (copies become NULL, rows silently dropped) while the
+    SQL twin would interpolate the string 'None' (≈62% of hashes
+    compare below it) — so it maps to the always-true sentinel 'g'
+    ('g' > every hex char), i.e. base+1 copies for every row, which is
+    the correct limit of factor -> base+1."""
+    base, frac = int(factor), round(factor - int(factor), 9)
+    if frac <= 0:
+        return base, "0" * _HEX_WIDTH
+    return base, threshold_hex(frac) or "g"
 
 
 def epoch_upsample(df: DataFrame, id_col: str, stratum_col: str,
@@ -218,9 +231,7 @@ def sql_epoch_factor(id_expr: str, stratum_expr: str,
                      factors: dict[str, float], default: float = 1.0,
                      seed: int = 0) -> str:
     """DuckDB twin of :func:`epoch_factor_columns`."""
-    def one(f: float) -> tuple[int, str]:
-        base, frac = int(f), round(f - int(f), 9)
-        return base, (threshold_hex(frac) if frac > 0 else "0" * _HEX_WIDTH)
+    one = _epoch_base_and_threshold
 
     base_whens = " ".join(
         f"WHEN {stratum_expr} = '{s}' THEN {one(f)[0]}"

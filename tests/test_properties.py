@@ -295,7 +295,10 @@ def test_split_and_epoch_sql_twins_cross_engine_fuzz(spark):
             f"FROM t").fetchall()}
         assert got == exp
 
-        factors = {f"src{k}": rnd.choice([0.0, 0.5, 1.0, 1.5, 2.5, 3.25])
+        # 2.9999999996: fractional part rounds to 1.0 — must behave as
+        # factor 3 on BOTH engines (the threshold_hex-None guard)
+        factors = {f"src{k}": rnd.choice([0.0, 0.5, 1.0, 1.5, 2.5, 3.25,
+                                          2.9999999996])
                    for k in range(4)}
         got = {r.doc_id: r.n for r in df.select(
             "doc_id",
