@@ -276,21 +276,24 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     The md5 pins the exact redacted string (span boundaries included)
     cross-engine, which is a far stronger check than counts alone.
-    Redaction order is the PII_PATTERNS iteration order (email → ipv4
-    → phone); the classes cannot overlap, so order only matters for
-    determinism, not semantics.
+    Redaction is sequential in PII_PATTERNS order (email → ipv4 →
+    phone) and each class is COUNTED on the text as it stands at that
+    step — classes can nest (an IPv4 inside an email's domain,
+    ``a@1.2.3.4.xy``), and counting each class on the original text
+    would report matches the earlier redaction already consumed,
+    leaving counts irreconcilable with the mask.  The mask tokens
+    themselves can never create new matches (no ``@``, digits, or
+    ``+``).  NULL text counts as empty (0 matches, md5 of '').
 
     Scale: a stateless projection of codegen'd regexp expressions —
     runs inside the scan at 100 TB, no shuffle, no UDF; counts
     aggregate map-side if rolled up downstream.
     """
-    t = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(t, F.lit(p), 0)).cast("bigint")
-            .alias(f"n_{k}")
-        for k, p in PII_PATTERNS.items()
-    ]
-    red = t
+    red = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
     for k, p in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(p), 0)).cast("bigint")
+            .alias(f"n_{k}"))
         red = F.regexp_replace(red, p, f"<{k.upper()}>")
     return df.select(F.col(id_col), *counts, F.md5(red).alias("redacted_md5"))

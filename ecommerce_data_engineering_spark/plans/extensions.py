@@ -1162,15 +1162,27 @@ def _pii_oracle() -> str:
              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
       FROM documents
     )
-    SELECT doc_id,
-           len(regexp_extract_all(t, '{email}')) AS n_email,
-           len(regexp_extract_all(t, '{ipv4}')) AS n_ipv4,
-           len(regexp_extract_all(t, '{phone}')) AS n_phone,
-           md5(regexp_replace(regexp_replace(regexp_replace(
-             t, '{email}', '<EMAIL>', 'g'),
-                '{ipv4}', '<IPV4>', 'g'),
-                '{phone}', '<PHONE>', 'g')) AS redacted_md5
-    FROM injected
+    , r1 AS (
+      -- each class is counted on the text AS REDACTED SO FAR (nested
+      -- matches, e.g. an IPv4 inside an email domain, must not be
+      -- double-reported) — mirrors operators/text.pii_scrub exactly
+      SELECT doc_id, COALESCE(t, '') AS t0,
+             len(regexp_extract_all(COALESCE(t, ''), '{email}')) AS n_email
+      FROM injected
+    ), r2 AS (
+      SELECT doc_id, n_email,
+             regexp_replace(t0, '{email}', '<EMAIL>', 'g') AS t1
+      FROM r1
+    ), r3 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '{ipv4}')) AS n_ipv4,
+             regexp_replace(t1, '{ipv4}', '<IPV4>', 'g') AS t2
+      FROM r2
+    )
+    SELECT doc_id, n_email, n_ipv4,
+           len(regexp_extract_all(t2, '{phone}')) AS n_phone,
+           md5(regexp_replace(t2, '{phone}', '<PHONE>', 'g')) AS redacted_md5
+    FROM r3
     """
 
 

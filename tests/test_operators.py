@@ -572,6 +572,20 @@ def test_pii_scrub_removes_every_match(spark):
                for r in again)
     assert set(PII_PATTERNS) == {"email", "ipv4", "phone"}
 
+    # nested classes: the IPv4 inside the email's domain is consumed by
+    # the email redaction, so it is NOT double-counted (counts
+    # reconcile with the mask), and NULL text counts as empty
+    nested = spark.createDataFrame(
+        [(1, "ping a@1.2.3.4.xy now"), (2, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           pii_scrub(nested, "text", "doc_id").collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 0, 0)
+    assert got[1]["redacted_md5"] == hashlib.md5(
+        b"ping <EMAIL> now").hexdigest()
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
+    assert got[2]["redacted_md5"] == hashlib.md5(b"").hexdigest()
+
 
 def test_shard_assignment_is_contiguous_permutation(spark, sf_dir):
     """Every doc is assigned exactly once; positions within a shard
