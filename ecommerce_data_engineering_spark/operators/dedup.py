@@ -299,6 +299,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 # -------------------------------------------------- exact chunk (C4-style)
 
+def _chunk_array(n: int):
+    """Non-overlapping ``n``-word chunk array over the pre-split word
+    column ``_w`` — the segmentation both chunk-dedup tiers (and their
+    DuckDB oracle twins) must share.  sequence(1, 0) in Spark is
+    [1, 0] (it infers step -1 when start > stop), hence the <n-word
+    guard."""
+    return F.expr(
+        f"CASE WHEN size(_w) >= {n} THEN"
+        f" transform(sequence(1, CAST(floor(size(_w)/{n}) AS INT)),"
+        f"   i -> array_join(slice(_w, (i-1)*{n} + 1, {n}), ' '))"
+        f" ELSE CAST(array() AS array<string>) END")
+
+
 def chunk_exact_dedup(df: DataFrame, text_col: str, id_col: str,
                       chunk_words: int = 4) -> DataFrame:
     """C4-style exact span dedup: of every globally-repeated
@@ -330,16 +343,8 @@ def chunk_exact_dedup(df: DataFrame, text_col: str, id_col: str,
     no driver state.
     """
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    n = chunk_words
-    # sequence(1, 0) in Spark is [1, 0] (it infers step -1 when
-    # start > stop), so the <n-word doc needs a guard
-    chunk_arr = F.expr(
-        f"CASE WHEN size(_w) >= {n} THEN"
-        f" transform(sequence(1, CAST(floor(size(_w)/{n}) AS INT)),"
-        f"   i -> array_join(slice(_w, (i-1)*{n} + 1, {n}), ' '))"
-        f" ELSE CAST(array() AS array<string>) END")
     staged = (df.select(F.col(id_col), w.alias("_w"))
-                .select(id_col, chunk_arr.alias("_chunks")))
+                .select(id_col, _chunk_array(chunk_words).alias("_chunks")))
     hashes = staged.select(
         id_col,
         F.posexplode(F.transform("_chunks", F.md5)).alias("pos", "_h"))
@@ -382,16 +387,9 @@ def intradoc_chunk_dedup(df: DataFrame, text_col: str, id_col: str,
     ``n_dropped``, ``kept_md5`` of the reassembled document.
     """
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    n = chunk_words
     staged = df.select(
         F.col(id_col), w.alias("_w")).select(
-        id_col,
-        F.expr(
-            f"CASE WHEN size(_w) >= {n} THEN"
-            f" transform(sequence(1, CAST(floor(size(_w)/{n}) AS INT)),"
-            f"   i -> array_join(slice(_w, (i-1)*{n} + 1, {n}), ' '))"
-            f" ELSE CAST(array() AS array<string>) END"
-        ).alias("_chunks"))
+        id_col, _chunk_array(chunk_words).alias("_chunks"))
     # first-occurrence filter: array_position is the 1-based FIRST index
     kept = F.expr("filter(_chunks, (c, i) -> array_position(_chunks, c) = i + 1)")
     return staged.select(

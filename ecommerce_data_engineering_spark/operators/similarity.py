@@ -35,9 +35,10 @@ def _dot(a: str, b: str):
 
 def with_norm(df: DataFrame, vec_col: str = "embedding",
               out_col: str = "norm") -> DataFrame:
-    """L2 norm, computed once per vector (reused across all pairs).
+    """L2 norm per vector, DROPPING zero-norm rows — the cosine
+    front-door, not a pure projection (row counts shrink).
 
-    Zero-norm vectors (all-zero or empty arrays) are DROPPED: cosine
+    Zero-norm vectors (all-zero or empty arrays) are dropped: cosine
     against them is 0/0, which Spark evaluates to NULL while DuckDB
     yields NaN — and NaN compares GREATER than everything in DuckDB's
     ORDER BY/`>=`, so the two engines would rank/filter such pairs

@@ -383,10 +383,18 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     key = F.substring(F.md5(F.col("shingle")), 1, 16).alias("shingle_key")
+    # persist: the shingle explode+distinct (the expensive corpus-wide
+    # pass) feeds BOTH sides of the join — the eval branch and the
+    # train branch carry different pushed-down split filters, so
+    # without a materialization barrier the whole shingling runs
+    # twice.  Spark's CacheManager dedups the identical plan across
+    # invocations, so repeated runs reuse one entry per (session,
+    # input) — same lifecycle as dedup_minhash_lsh's shingle persist.
     sh = (D.word_shingles(docs, "text", "doc_id", n=DECON_NGRAM)
           .select("doc_id", key)
           .withColumn("split",
-                      SP.split_column("doc_id", SPLITS, SPLIT_SEED)))
+                      SP.split_column("doc_id", SPLITS, SPLIT_SEED))
+          .persist())
     eval_sh = (sh.filter(F.col("split") == "test")
                .select("shingle_key").distinct())
     return (sh.filter(F.col("split") == "train")
