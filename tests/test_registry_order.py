@@ -64,9 +64,10 @@ def test_driver_window_contains_extension_queries():
 
 
 def test_window_queries_are_oracle_checked():
-    """Inside the window, only the documented rows-only queries may lack
-    an oracle (S8 synthetic pipeline, approx sketch)."""
+    """Inside the window, only the documented rows-only query may lack
+    an oracle (the HLL sketch, whose error bound is pinned in
+    test_properties instead; the SCD2 pipeline query gained a full
+    closed-form oracle in round 3)."""
     window = list(REGISTRY.items())[:DRIVER_WINDOW]
     rows_only = {n for n, s in window if s.oracle is None}
-    assert rows_only <= {"pipeline_dim_customers_scd2", "approx_distinct_users"}, \
-        rows_only
+    assert rows_only <= {"approx_distinct_users"}, rows_only
