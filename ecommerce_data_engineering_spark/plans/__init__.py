@@ -60,8 +60,10 @@ _PRIORITY = [
     "ingest_refresh_roundtrip",      # S2 S3 S4 M3
     "pipeline_dim_customers_scd2",   # S8 (rows-only)
     # --- tier 3: event/streaming twins + as-of + skew ---
+    # (events_sessionization sits past the window since round 3: it
+    # computes the SAME sessions as events_session_window_native, and
+    # the slot buys a driver row for a distinct operator instead)
     "events_hourly_rollup",
-    "events_sessionization",
     "purchase_click_asof",           # EXT-asof
     "event_user_enrichment",         # EXT-skew
     "events_session_window_native",  # EXT-session
@@ -81,22 +83,32 @@ _PRIORITY = [
     "embedding_cosine_topk",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
-    # --- tier 7: text analysis ---
+    # --- tier 7: text analysis (token_counts past-window since r3:
+    #     quality_scores already exercises the tokenizers) ---
     "text_language_id",
     "text_quality_scores",
-    "text_token_counts",
-    # --- tier 8: multimodal (real zero-dep codecs) ---
+    "text_pii_redaction",            # PII scrub, masked text md5-pinned
+    # --- tier 8: multimodal (real zero-dep codecs; frame_sample
+    #     past-window since r3 — decode covers the family) ---
     "multimodal_decode",
     "multimodal_audio_decode",
-    "multimodal_frame_sample",
-    # --- tier 9: curation (sampling / splits / quality / packing) ---
+    # --- tier 9: curation (sampling / splits / quality / packing /
+    #     span dedup / decontamination / mixture epochs).  The funnel
+    #     embeds the Gopher gate, so corpus_gopher_rules' standalone
+    #     row moved past the window in favor of distinct operators ---
     "corpus_curation_funnel",        # EXT-curation EXT-dedup EXT-text
-    "corpus_gopher_rules",
     "corpus_sequence_packing",
     "corpus_split_assignment",
+    "corpus_chunk_dedup",            # C4-style corpus-wide span dedup
+    "corpus_decontaminate",          # train/test n-gram overlap guard
+    "corpus_epoch_upsampling",       # fractional per-source repeats
     # ---------------- end of driver window (50) ----------------
-    # tier 9: redundant-but-valuable shapes, most valuable first, in
+    # tier 10: redundant-but-valuable shapes, most valuable first, in
     # case the verification budget is larger than observed.
+    "events_sessionization",
+    "text_token_counts",
+    "multimodal_frame_sample",
+    "corpus_gopher_rules",
     "daily_sales",
     "scd2_change_detection",
     "customer_acquisition",

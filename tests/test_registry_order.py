@@ -28,11 +28,12 @@ EXT_MUST_HAVE = {
     "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash_pairs", "dedup_clusters",
     "embedding_cosine_topk", "embedding_ann_lsh", "embedding_ann_ivf",
-    "text_language_id", "text_quality_scores", "text_token_counts",
-    "multimodal_decode", "multimodal_audio_decode", "multimodal_frame_sample",
+    "text_language_id", "text_quality_scores", "text_pii_redaction",
+    "multimodal_decode", "multimodal_audio_decode",
     "purchase_click_asof", "event_user_enrichment",
-    "events_hourly_rollup", "events_sessionization",
-    "corpus_curation_funnel", "corpus_gopher_rules",
+    "events_hourly_rollup", "events_session_window_native",
+    "corpus_curation_funnel", "corpus_chunk_dedup",
+    "corpus_decontaminate", "corpus_epoch_upsampling",
     "corpus_sequence_packing", "corpus_split_assignment",
 }
 
