@@ -64,15 +64,26 @@ def curated_corpus_incremental(spark: SparkSession, src_dir: str,
         sess = batch_df.sparkSession
         keyed = batch_df.withColumn(
             "content_key", F.md5(F.lower(F.trim(F.col("text")))))
-        # in-batch dedup: deterministic keeper = min doc_id per key
+        # in-batch dedup: deterministic keeper = min doc_id per key;
+        # the trailing dropDuplicates collapses byte-identical rows
+        # (same doc_id AND text repeated inside one feed file), which
+        # the join alone would preserve — and which would otherwise
+        # admit the document twice and register its key twice
         firsts = (keyed.groupBy("content_key")
                   .agg(F.min("doc_id").alias("doc_id")))
-        batch_unique = keyed.join(firsts, ["content_key", "doc_id"])
+        batch_unique = (keyed.join(firsts, ["content_key", "doc_id"])
+                        .dropDuplicates(["content_key"]))
         if V.current_version(sess, registry_path) is None:
             seen = None
             fresh = batch_unique
         else:
             reg = V.read_current(sess, registry_path)
+            if "epoch" not in reg.columns:
+                # registry written by the pre-epoch-tag code: treat all
+                # its keys as admitted by a foreign epoch so they stay
+                # "seen" (the tag only matters for replays of batches
+                # run under the new code)
+                reg = reg.withColumn("epoch", F.lit(-1))
             # a key tagged with THIS epoch id came from a failed attempt
             # of this very batch — treating it as unseen is what makes
             # the replay recompute the identical admitted set instead

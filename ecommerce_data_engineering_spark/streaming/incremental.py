@@ -77,6 +77,12 @@ def daily_sales_incremental(spark: SparkSession, sf_dir: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # returns False on timeout instead of raising; falling through
+        # would snapshot a rollup the still-running query keeps
+        # republishing, and leak the query
+        q.stop()
+        raise TimeoutError(
+            f"incremental rollup did not finish within {timeout_s}s")
     from ..sources import versioned as V
     return V.read_current(spark, rollup_path)

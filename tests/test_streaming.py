@@ -304,6 +304,7 @@ def test_streaming_corpus_recovers_from_publish_crash(spark, sf_dir,
     assert out.count() == out.select("doc_id").distinct().count()
 
 
+@pytest.mark.timeout(300)
 def test_streaming_corpus_recovers_from_post_publish_crash(
         spark, sf_dir, tmp_path, monkeypatch):
     """Exactly-once through the WORST crash window: the registry
