@@ -48,7 +48,10 @@ NOTES = {
     "corpus_decontaminate": (
         "Shingles compress to 64-bit md5-prefix keys before the join; "
         "with a benchmark-sized eval set the eval side auto-broadcasts "
-        "and the corpus never shuffles."),
+        "and the corpus never shuffles.  The compact (doc_id, key, "
+        "split) frame is persisted because both sides of the join "
+        "consume it with different pushed-down split filters — without "
+        "the barrier the corpus-wide shingle explode would run twice."),
     "corpus_mix_rebalance": (
         "One groupBy(source) with map-side partials plus a 1-row scalar "
         "broadcast cross for the total — the corpus is scanned once."),
