@@ -170,6 +170,71 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                .filter(F.col("rn") <= k))
 
 
+def lsh_cosine_topk_multitable(corpus: DataFrame, queries: DataFrame,
+                               k: int, dim: int, num_planes: int = 6,
+                               num_tables: int = 2, id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Multi-TABLE sign-LSH: ``num_tables`` independent hyperplane
+    sets (table t uses global plane indices t·H..t·H+H-1, so table 0
+    reproduces :func:`lsh_cosine_topk` exactly), candidate = same
+    bucket in ANY table, exact cosine over the deduplicated candidate
+    set.  The standard LSH recall lever orthogonal to multi-probe:
+    recall rises with L because a near neighbor only has to agree on
+    one table's H planes.
+
+    Scale shape: each side is ONE frame of (id, table, bucket) rows —
+    the signature stack is an explode over per-table bucket structs,
+    so the corpus is scanned once regardless of L — and the candidate
+    join is a (table, bucket) equi-join whose volume grows linearly in
+    L, never a second corpus pass.  Weights are precomputed literals
+    (:func:`rademacher_weights` over L·H planes), zero per-row hashing.
+    """
+    weights = rademacher_weights(num_tables * num_planes, dim)
+
+    def bucket_struct(t: int):
+        def plane_dot(ws: list[float]):
+            arr = F.array(*[F.lit(w) for w in ws])
+            terms = F.aggregate(
+                F.zip_with(F.slice(F.col(vec_col), 1, dim), arr,
+                           lambda x, w: x.cast("double") * w),
+                F.lit(0.0), lambda acc, x: acc + x)
+            return F.when(pround(terms, 9) > 0, F.lit("1")).otherwise(F.lit("0"))
+
+        bits = F.concat(*[plane_dot(weights[t * num_planes + p])
+                          for p in range(num_planes)])
+        return F.struct(F.lit(t).alias("table"), bits.alias("bucket"))
+
+    tables = F.array(*[bucket_struct(t) for t in range(num_tables)])
+
+    def stacked(df: DataFrame, prefix: str) -> DataFrame:
+        return (with_norm(df, vec_col)
+                .select(F.col(id_col).alias(f"{prefix}_id"),
+                        F.col(vec_col).alias(f"{prefix}_vec"),
+                        F.col("norm").alias(f"{prefix}_norm"),
+                        F.explode(tables).alias("tb"))
+                .select(f"{prefix}_id", f"{prefix}_vec", f"{prefix}_norm",
+                        F.col("tb.table").alias("table"),
+                        F.col("tb.bucket").alias("bucket")))
+
+    qb = stacked(queries, "query")
+    cb = stacked(corpus, "neighbor").select("neighbor_id", "table", "bucket")
+    cand = (qb.join(cb, ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "query_vec", "query_norm", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    vecs = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"), F.col("norm").alias("c_norm"))
+    sim = (cand.join(vecs, "neighbor_id")
+           .withColumn("cosine",
+                       pround(_dot("query_vec", "c_vec") /
+                              (F.col("query_norm") * F.col("c_norm")), 6))
+           .select("query_id", "neighbor_id", "cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (sim.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= k))
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
     """IVF coarse quantization: assign every vector to its ``nprobe``

@@ -126,6 +126,7 @@ _PRIORITY = [
     "corpus_filter_pipeline",
     "dedup_embedding_clusters",
     "embedding_ann_lsh_multiprobe",
+    "embedding_ann_lsh_multitable",
     "embedding_ann_ivf_nprobe",
     "events_json_props",
     "events_rollup_cascade",

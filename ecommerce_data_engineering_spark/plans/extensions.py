@@ -431,6 +431,75 @@ def _ann_lsh_mp_oracle() -> str:
     """
 
 
+ANN_TABLES = 2
+
+
+def _ann_lsh_multitable_oracle() -> str:
+    from ..operators.similarity import rademacher_weights
+
+    ws = rademacher_weights(ANN_TABLES * ANN_PLANES, EMB_DIM)
+    rows = ", ".join(
+        f"({t}, {p}, [{', '.join(str(w) for w in ws[t * ANN_PLANES + p])}]"
+        f"::DOUBLE[])"
+        for t in range(ANN_TABLES) for p in range(ANN_PLANES))
+    return f"""
+    WITH {_VEC_CTE},
+    planes AS (SELECT * FROM (VALUES {rows}) AS t(tbl, p, w)),
+    sb AS (
+      SELECT v.vec_id, planes.tbl, planes.p,
+             CASE WHEN floor(sum(v.x * planes.w[v.i]) * 1000000000 + 0.5)
+                       / 1000000000 > 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM v CROSS JOIN planes
+      GROUP BY v.vec_id, planes.tbl, planes.p
+    ), buckets AS (
+      SELECT vec_id, tbl, string_agg(bit, '' ORDER BY p) AS bucket
+      FROM sb GROUP BY vec_id, tbl
+    ),
+    qb AS (SELECT * FROM buckets WHERE vec_id < {ANN_QUERY_LIMIT}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qb q JOIN buckets c
+        ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ), dots AS (
+      SELECT cand.query_id, cand.neighbor_id, sum(a.x * b.x) AS dot
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2
+    ), sims AS (
+      SELECT d.query_id, d.neighbor_id,
+             floor((d.dot / (nq.nrm * nc.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nc ON d.neighbor_id = nc.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {ANN_K}
+    """
+
+
+@query("embedding_ann_lsh_multitable", oracle=_ann_lsh_multitable_oracle(),
+       covers=("EXT-similarity",))
+def embedding_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH (L=2 independent hyperplane sets): the
+    recall lever orthogonal to multi-probe — a near neighbor only has
+    to share a bucket in ONE table.  Table 0's planes are identical to
+    embedding_ann_lsh's, so its candidate set strictly contains the
+    single-table one (recall dominance property-tested).  The corpus is
+    scanned once; candidate volume grows linearly in L."""
+    from ..operators.similarity import lsh_cosine_topk_multitable
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)
+    return lsh_cosine_topk_multitable(emb, queries, ANN_K, EMB_DIM,
+                                      ANN_PLANES, ANN_TABLES)
+
+
 @query("embedding_ann_lsh_multiprobe", oracle=_ann_lsh_mp_oracle(),
        covers=("EXT-similarity",))
 def embedding_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:

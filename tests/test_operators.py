@@ -111,6 +111,7 @@ def test_ann_recall_knobs_dominate_base_variants(spark, sf_dir):
     from ecommerce_data_engineering_spark.plans import REGISTRY
 
     for base, knob in (("embedding_ann_lsh", "embedding_ann_lsh_multiprobe"),
+                       ("embedding_ann_lsh", "embedding_ann_lsh_multitable"),
                        ("embedding_ann_ivf", "embedding_ann_ivf_nprobe")):
         b = {(r.query_id, r.rn): r.cosine for r in
              REGISTRY[base].fn(spark, sf_dir).collect()}
