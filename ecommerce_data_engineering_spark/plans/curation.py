@@ -710,3 +710,50 @@ def corpus_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count_if(F.col("n_copies") == 0).alias("n_dropped"),
                  pround(F.sum("n_copies").cast("double")
                         / F.count(F.lit(1)), 4).alias("realized_factor")))
+
+
+EVAL_K = 25
+EVAL_SEED = 37
+
+
+@query(
+    "corpus_eval_quota_sample",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, {SP.sql_bucket('doc_id', EVAL_SEED)} AS h
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM hashed) t
+    WHERE rn <= {EVAL_K}
+    """,
+    covers=("EXT-curation",),
+)
+def corpus_eval_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota eval-set construction: precisely EVAL_K documents
+    per language, selected by ascending seeded hash — the fixed-size
+    held-out set a benchmark needs, which threshold sampling
+    (corpus_deterministic_sample) cannot give: a hash threshold yields
+    a Binomial(n, p) count, an hash-ORDER quota yields exactly k.
+
+    The tradeoff is the membership-stability dual: threshold samples
+    never change membership as the corpus grows (contamination-safe),
+    while a quota sample may displace members when a new document
+    hashes lower — so quotas are for FROZEN corpora (eval snapshots)
+    and thresholds for growing ones (train splits).
+
+    Scale: one shuffle on the stratum key, per-group window over
+    |stratum| rows (operators/topk.topk_per_group) — no global window;
+    for quotas over very hot strata the per-partition pre-top-k of
+    distributed_topk composes the same way."""
+    from ..operators.topk import topk_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "lang",
+        SP.hash_bucket_hex("doc_id", EVAL_SEED).alias("h"))
+    out = topk_per_group(hashed, ["lang"], [F.asc("h"), F.asc("doc_id")],
+                         EVAL_K)
+    return out.select("doc_id", "lang", F.col("rn").cast("int").alias("rn"))
