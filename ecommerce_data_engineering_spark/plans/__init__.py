@@ -27,6 +27,7 @@ from . import extensions   # noqa: F401  (dedup / similarity / text / multimodal
 from . import curation     # noqa: F401  (sampling / splits / mixing / histograms)
 from . import contracts    # noqa: F401  (P6 concat, Q1/Q7 contract, S2-S4/M3 roundtrips)
 from . import pipeline_queries  # noqa: F401  (end-to-end e-commerce pipeline)
+from . import cdc          # noqa: F401  (snapshot change-data-capture)
 
 DRIVER_WINDOW = 50
 
@@ -110,6 +111,7 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "corpus_gopher_rules",
     "daily_sales",
+    "snapshot_cdc_diff",
     "scd2_change_detection",
     "customer_acquisition",
     "customer_segmentation",

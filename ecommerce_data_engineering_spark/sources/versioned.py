@@ -77,6 +77,27 @@ def read_current(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(f"{root.rstrip('/')}/v={cur}")
 
 
+def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Time-travel read: snapshot of a specific committed version.
+
+    Only COMMITTED versions are readable — an orphan ``v=<n>``
+    directory from a crashed publish is invisible here exactly as it
+    is to :func:`read_current`.  Combined with
+    :func:`..operators.cdc.snapshot_diff` this gives "what changed
+    between v3 and v7" without either snapshot being the live one.
+    """
+    root = root.rstrip("/")
+    if version not in _versions(spark, root):
+        raise FileNotFoundError(f"{root}: version {version} not committed "
+                                f"(have {_versions(spark, root)})")
+    return spark.read.parquet(f"{root}/v={version}")
+
+
+def version_history(spark: SparkSession, root: str) -> list[int]:
+    """All committed versions, oldest first (time-travel catalog)."""
+    return _versions(spark, root.rstrip("/"))
+
+
 def vacuum(spark: SparkSession, root: str, keep: int = 2) -> list[int]:
     """Remove versions older than the newest ``keep`` committed ones,
     plus any uncommitted orphan directories below them; never touches
