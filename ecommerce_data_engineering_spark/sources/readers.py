@@ -81,6 +81,112 @@ def read_csv_declared(spark: SparkSession, path: str, schema: T.StructType,
     return validate_columns(df, [f.name for f in schema.fields], path)
 
 
+def read_csv_quarantine(
+        spark: SparkSession, path: str, schema: T.StructType,
+        header: bool = True,
+        corrupt_col: str = "_corrupt_record") -> tuple[DataFrame, DataFrame]:
+    """CSV ingest with corrupt-record QUARANTINE: returns
+    ``(good, bad)`` from one declared-schema scan.
+
+    :func:`read_csv_declared` nulls malformed cells (the reference's
+    ``errors='coerce'``); at ingest scale you also want the rejected
+    raw lines themselves — for replay after an upstream fix, and
+    because silently nulling 4% of a feed is an incident, not a
+    cleaning step.  PERMISSIVE mode routes each unparseable row's raw
+    text into ``corrupt_col``; splitting on its NULL-ness yields the
+    clean frame (corrupt column dropped) and the quarantine frame
+    (typed columns as far as parsing got, plus the raw line).
+
+    Both frames come from the SAME scan lineage — at 100 TB the two
+    filters run in one pass each over the pushdown-pruned scan, and
+    writing ``bad`` to a side table is the streaming-friendly
+    dead-letter pattern.
+    """
+    full = T.StructType(list(schema.fields)
+                        + [T.StructField(corrupt_col, T.StringType())])
+    df = (spark.read
+          .option("columnNameOfCorruptRecord", corrupt_col)
+          .csv(path, header=header, schema=full, mode="PERMISSIVE"))
+    from pyspark.sql import functions as F
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    return good, bad
+
+
+def read_json_quarantine(
+        spark: SparkSession, path: str, schema: T.StructType,
+        corrupt_col: str = "_corrupt_record") -> tuple[DataFrame, DataFrame]:
+    """JSON-lines twin of :func:`read_csv_quarantine` (event feeds are
+    JSON in practice — the fixture ``events.props`` column models the
+    payload).  Malformed lines land in the quarantine frame with the
+    raw text preserved."""
+    full = T.StructType(list(schema.fields)
+                        + [T.StructField(corrupt_col, T.StringType())])
+    df = (spark.read
+          .option("columnNameOfCorruptRecord", corrupt_col)
+          .schema(full).json(path))
+    from pyspark.sql import functions as F
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    return good, bad
+
+
+_NUMERIC_LADDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+def _widen(a: T.DataType, b: T.DataType, col: str) -> T.DataType:
+    """Safe common type for schema evolution: equal types, or the wider
+    of two numeric types (the ladder every engine's schema-merge
+    implements); anything else is a hard error — silently casting
+    string↔int across file generations corrupts data."""
+    if a == b:
+        return a
+    sa, sb = a.simpleString(), b.simpleString()
+    if sa in _NUMERIC_LADDER and sb in _NUMERIC_LADDER:
+        return T._parse_datatype_string(
+            _NUMERIC_LADDER[max(_NUMERIC_LADDER.index(sa),
+                                _NUMERIC_LADDER.index(sb))])
+    raise TypeError(f"column {col!r}: incompatible types across file "
+                    f"generations ({sa} vs {sb})")
+
+
+def read_evolved(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Read several parquet generations of one logical table whose
+    schema EVOLVED between writes: later files may add columns or
+    widen numeric types.
+
+    Spark's ``mergeSchema`` refuses int→bigint drift between files;
+    this reader instead unifies footers driver-side (column order =
+    first sight, numeric widening per :func:`_widen`), then casts and
+    null-fills each generation and unions by name.  Footer listing is
+    metadata-only — the data scan still prunes columns/filters per
+    generation, so evolving a 100 TB table never forces a rewrite of
+    the old files.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not paths:
+        raise ValueError("read_evolved: no paths")
+    gens = [spark.read.parquet(p) for p in paths]
+    unified: dict[str, T.DataType] = {}
+    for g in gens:
+        for f in g.schema.fields:
+            unified[f.name] = (_widen(unified[f.name], f.dataType, f.name)
+                               if f.name in unified else f.dataType)
+    aligned = []
+    for g in gens:
+        have = dict(g.dtypes)
+        cols = [
+            (F.col(n).cast(t) if have[n] != t.simpleString() else F.col(n))
+            .alias(n) if n in have else F.lit(None).cast(t).alias(n)
+            for n, t in unified.items()
+        ]
+        aligned.append(g.select(*cols))
+    return reduce(lambda a, b: a.unionByName(b), aligned)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str,
               partition_column: str | None = None,
               num_partitions: int = 8,

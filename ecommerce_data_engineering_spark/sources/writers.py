@@ -33,6 +33,31 @@ def write_partitioned(df: DataFrame, path: str, date_key_col: str = "order_date_
     out.write.mode(mode).partitionBy("order_month").parquet(path)
 
 
+def write_clustered(df: DataFrame, path: str, cluster_col: str,
+                    n_files: int, mode: str = "overwrite") -> None:
+    """Write parquet range-CLUSTERED on ``cluster_col``: rows are
+    range-partitioned into ``n_files`` contiguous key ranges and sorted
+    within each file (Z-order-lite for a single key).
+
+    Why it matters at 100 TB: parquet row-group min/max statistics only
+    skip data when values are LOCALIZED.  A point/range predicate over
+    a randomly-laid-out table matches some rows in every file, so every
+    row group decodes; over a clustered layout the same predicate's
+    value range lives in one (or a few) files and every other row
+    group's ``min > x OR max < x`` check fails without decoding a
+    byte.  ``tests/test_sources.py::test_clustered_write_file_skipping``
+    pins the effect: a narrow filter touches 1 of N clustered files vs
+    all N unclustered.
+
+    One range-shuffle at write time (sampled range boundaries, so skew
+    in the cluster key still yields balanced files) buys every future
+    scan's skipping — the standard warehouse trade.
+    """
+    (df.repartitionByRange(n_files, F.col(cluster_col))
+       .sortWithinPartitions(cluster_col)
+       .write.mode(mode).parquet(path))
+
+
 def write_view(df: DataFrame, name: str) -> DataFrame:
     """Register a BI-serving view (analytics_dag.py:423-440 equivalent)."""
     df.createOrReplaceTempView(name)

@@ -250,3 +250,104 @@ def test_jdbc_roundtrip_embedded_derby(spark):
     plan = filt._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "LessThan" in plan
     assert filt.count() == 20
+
+
+def test_csv_quarantine_splits_good_and_bad(spark):
+    """Corrupt-record quarantine: unparseable rows land in the bad
+    frame WITH their raw line preserved for replay; the good frame is
+    clean and corrupt-column-free."""
+    from ecommerce_data_engineering_spark.sources import read_csv_quarantine
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "feed.csv")
+        with open(path, "w") as f:
+            f.write("id,qty\n")
+            f.write("1,10\n")
+            f.write("2,notanint\n")
+            f.write("3,30\n")
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.LongType()),
+        ])
+        good, bad = read_csv_quarantine(spark, path, schema)
+        assert good.columns == ["id", "qty"]
+        assert {(r.id, r.qty) for r in good.collect()} == {(1, 10), (3, 30)}
+        bad_rows = bad.collect()
+        assert len(bad_rows) == 1
+        assert bad_rows[0]._corrupt_record == "2,notanint"
+        assert bad_rows[0].id == 2          # parsing kept what it could
+
+
+def test_json_quarantine_splits_good_and_bad(spark):
+    from ecommerce_data_engineering_spark.sources import read_json_quarantine
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "feed.jsonl")
+        with open(path, "w") as f:
+            f.write('{"id": 1, "v": 1.5}\n')
+            f.write('{"id": 2, "v": BROKEN}\n')
+            f.write('{"id": 3, "v": 3.0}\n')
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ])
+        good, bad = read_json_quarantine(spark, path, schema)
+        assert {r.id for r in good.collect()} == {1, 3}
+        bad_rows = bad.collect()
+        assert len(bad_rows) == 1
+        assert "BROKEN" in bad_rows[0]._corrupt_record
+
+
+def test_read_evolved_widens_and_nullfills(spark):
+    """Schema evolution across parquet generations: added column is
+    null-filled in old generations, int→bigint widens, incompatible
+    drift is a hard error."""
+    from ecommerce_data_engineering_spark.sources import read_evolved
+
+    with tempfile.TemporaryDirectory() as d:
+        g1, g2, g3 = (os.path.join(d, f"g{i}") for i in (1, 2, 3))
+        spark.range(3).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(id * 2 AS INT) AS v").write.parquet(g1)
+        spark.range(3, 5).selectExpr(
+            "id AS k", "id * 2 AS v", "'x' AS tag").write.parquet(g2)
+
+        df = read_evolved(spark, [g1, g2])
+        assert dict(df.dtypes) == {"k": "bigint", "v": "bigint",
+                                   "tag": "string"}
+        rows = {r.k: (r.v, r.tag) for r in df.collect()}
+        assert rows[0] == (0, None) and rows[4] == (8, "x")
+
+        spark.range(1).selectExpr("'oops' AS k").write.parquet(g3)
+        import pytest as _pytest
+        with _pytest.raises(TypeError, match="incompatible"):
+            read_evolved(spark, [g1, g3])
+
+
+def test_clustered_write_file_skipping(spark):
+    """Range clustering localizes key ranges: a narrow predicate's
+    matching rows live in ONE of the n files (vs scattered over all of
+    them in a hash/random layout), which is what lets parquet row-group
+    min/max stats skip the rest at 100 TB."""
+    from ecommerce_data_engineering_spark.sources import write_clustered
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "tbl")
+        df = spark.range(10_000).selectExpr("id AS k", "id % 7 AS v")
+        write_clustered(df, path, "k", n_files=8)
+
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert len(files) == 8
+
+        touched = (spark.read.parquet(path)
+                   .filter("k BETWEEN 4000 AND 4100")
+                   .select(F.input_file_name().alias("f"))
+                   .distinct().count())
+        assert touched == 1
+
+        # within-file ordering: each file is sorted on k (row-group
+        # stats are tight, not just file-level)
+        import pyarrow.parquet as pq
+        for fname in files:
+            ks = pq.read_table(os.path.join(path, fname),
+                               columns=["k"])["k"].to_pylist()
+            assert ks == sorted(ks)
