@@ -62,6 +62,29 @@ def snapshot_diff(before: DataFrame, after: DataFrame, keys: list[str],
              .select(*keys, CHANGE_COL, "before", "after"))
 
 
+def apply_diff(before: DataFrame, diff: DataFrame,
+               keys: list[str]) -> DataFrame:
+    """Replay a :func:`snapshot_diff` result onto ``before``,
+    reconstructing ``after`` exactly — the downstream half of CDC: a
+    consumer holding yesterday's snapshot plus today's (small) diff
+    never re-reads the full table.
+
+    Deletes and updates remove the old row (one left-anti join on the
+    key); inserts and updates add the ``after`` payload back.  Both
+    sides hash-partition by the key, so at 100 TB the cost is one
+    co-partitioned anti join against a diff that is typically orders
+    of magnitude smaller than the snapshot — broadcastable by AQE when
+    it fits.  The roundtrip invariant
+    ``apply_diff(b, snapshot_diff(b, a, k), k) == a`` is pinned by a
+    randomized test.
+    """
+    removed = diff.filter(F.col(CHANGE_COL) != "insert").select(*keys)
+    survivors = before.join(removed, keys, "left_anti")
+    additions = (diff.filter(F.col(CHANGE_COL) != "delete")
+                 .select(*keys, "after.*"))
+    return survivors.unionByName(additions)
+
+
 def diff_counts(diff: DataFrame) -> DataFrame:
     """Per-change-type row counts of a :func:`snapshot_diff` result —
     the summary a refresh job logs (and alerts on: a refresh that

@@ -102,3 +102,43 @@ def test_snapshot_diff_plan_single_join_no_extra_exchange(spark):
         .executedPlan().toString()
     assert "FullOuter" in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_apply_diff_roundtrip_randomized(spark):
+    """CDC roundtrip invariant: before + snapshot_diff(before, after)
+    reconstructs after exactly, across randomized keyed mutations with
+    NULLs in both payload columns (seeded — deterministic run)."""
+    import random
+
+    from ecommerce_data_engineering_spark.operators.cdc import apply_diff
+
+    rng = random.Random(20260814)
+
+    def payload():
+        seg = rng.choice(["A", "B", "C", None])
+        bal = rng.choice([None, round(rng.uniform(-100, 100), 2)])
+        return seg, bal
+
+    before_rows = [(k, *payload()) for k in range(200)]
+    after_rows = []
+    for k, seg, bal in before_rows:
+        r = rng.random()
+        if r < 0.15:
+            continue                      # delete
+        if r < 0.45:
+            after_rows.append((k, *payload()))   # rewrite (maybe equal)
+        else:
+            after_rows.append((k, seg, bal))     # unchanged
+    after_rows += [(k, *payload()) for k in range(1000, 1040)]  # inserts
+
+    before = spark.createDataFrame(before_rows, SCHEMA)
+    after = spark.createDataFrame(after_rows, SCHEMA)
+    diff = snapshot_diff(before, after, ["k"])
+    rebuilt = apply_diff(before, diff, ["k"])
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert canon(rebuilt) == canon(after)
+    # and the diff is genuinely smaller than the snapshot (the point)
+    assert diff.count() < after.count()
