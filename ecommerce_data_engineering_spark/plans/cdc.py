@@ -53,7 +53,8 @@ FROM j WHERE change IS NOT NULL
 """
 
 
-@query("snapshot_cdc_diff", oracle=_CDC_ORACLE, covers=("M2", "J6"))
+@query("snapshot_cdc_diff", oracle=_CDC_ORACLE, covers=("M2", "J6"),
+       bench=True)
 def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed diff between two deterministic snapshots of ``customer``
     via :func:`..operators.cdc.snapshot_diff` — one co-partitioned

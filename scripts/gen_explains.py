@@ -12,7 +12,8 @@ KEY = ["pricing_summary", "revenue_by_nation", "top_products",
        "customer_metrics", "fact_orders_upsert",
        "corpus_deterministic_sample", "corpus_sequence_packing",
        "corpus_curation_funnel", "corpus_decontaminate",
-       "corpus_mix_rebalance", "corpus_chunk_dedup"]
+       "corpus_mix_rebalance", "corpus_chunk_dedup",
+       "snapshot_cdc_diff"]
 
 # Plan-shape commentary kept alongside the regenerated plans (the
 # script owns these so re-running never loses them).
@@ -61,6 +62,13 @@ NOTES = {
         "dropped-position regroup by doc id; reassembly filters the "
         "chunk array in place on the original row.  Pinned in "
         "tests/test_physical.py::test_chunk_dedup_shuffles_positions_not_text."),
+    "snapshot_cdc_diff": (
+        "Keyed CDC is ONE full-outer SortMergeJoin: both snapshots "
+        "hash-partition by the key, payload columns travel as a single "
+        "struct per side, and the insert/delete/update classification "
+        "plus the unchanged-row discard evaluate inside the join stage "
+        "— no exchange after the join.  Pinned in "
+        "tests/test_cdc.py::test_snapshot_diff_plan_single_join_no_extra_exchange."),
 }
 
 
