@@ -61,3 +61,61 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
 
 def davg_sql(expr: str, scale: int = 2) -> str:
     return f"({dsum_sql(expr, scale)} / count({expr}))"
+
+
+# ---------------------------------------------------------------------------
+# Scaled-long exact aggregation — the fast path for fixed-point money.
+#
+# Decimal aggregation is exact but expensive: Spark's Decimal ops run
+# outside the primitive-long fast lanes of whole-stage codegen, and a
+# decimal sum measured ~3x the cost of the surrounding aggregation
+# (sf0.1: product_metrics' revenue sum alone was 0.65 s of a 1.3 s
+# query).  For 2-decimal money the same exactness is available in
+# primitive space: snap each value to integer cents with the portable
+# floor(x*100+0.5) (exact long, identical on both engines), sum as
+# BIGINT (exact, associative → partition-order-independent), divide
+# once at the end.  The one division is correctly rounded IEEE on both
+# engines from identical operands, so the surfaced double is
+# bit-identical cross-engine — same determinism guarantee as
+# dsum/davg, ~3x cheaper.
+#
+# Bounds: the bigint sum is exact to 2^63 (9.2e18 cent-units — beyond
+# any real revenue); the final long→double conversion rounds above
+# 2^53, which is still deterministic cross-engine (both correctly
+# round the same integer) — so hashes match at ANY scale, and values
+# are semantically exact below 2^53 scaled units (~$90T at cents).
+# Keep dsum for decimal-typed columns that must stay decimal.
+# ---------------------------------------------------------------------------
+
+def to_scaled_long(col: Column, scale: int = 2) -> Column:
+    """floor(x·10^s + 0.5) as BIGINT — exact fixed-point snap, the
+    portable-rounding twin of :func:`pround` in integer space."""
+    return F.floor(col * F.lit(10 ** scale) + F.lit(0.5)).cast("bigint")
+
+
+def lsum(col: Column, scale: int = 2) -> Column:
+    """Exact scaled-long sum of a fixed-point column, surfaced as
+    double.  Bit-compatible with :func:`dsum` on 2-decimal inputs
+    (verified cell-for-cell in tests), ~3× faster."""
+    return (F.sum(to_scaled_long(col, scale))
+            / F.lit(float(10 ** scale))).cast("double")
+
+
+def lavg(col: Column, scale: int = 2) -> Column:
+    """Exact-sum average on the scaled-long path (÷ non-null count)."""
+    return lsum(col, scale) / F.count(col)
+
+
+def to_scaled_long_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(floor(({expr}) * {10 ** scale} + 0.5) AS BIGINT)"
+
+
+def lsum_sql(expr: str, scale: int = 2) -> str:
+    # CAST AS BIGINT: DuckDB sum(BIGINT) returns HUGEINT (registry
+    # convention) — normalize before the double division
+    return (f"(CAST(sum({to_scaled_long_sql(expr, scale)}) AS BIGINT)"
+            f" / {float(10 ** scale)})")
+
+
+def lavg_sql(expr: str, scale: int = 2) -> str:
+    return f"({lsum_sql(expr, scale)} / count({expr}))"

@@ -16,17 +16,18 @@ from .. import AS_OF_DATE
 from ..operators.range_join import range_join, range_join_by_expansion
 from ..operators.topk import distributed_topk
 from ..sources import load
-from ..functions.rounding import davg, dsum, pround
+from ..functions.rounding import (davg, dsum, lavg, lavg_sql, lsum,
+                                  lsum_sql, pround, to_scaled_long)
 from .registry import query
 
 
 @query(
     "daily_sales",
-    oracle="""
+    oracle=f"""
     SELECT CAST(o_orderdate AS DATE) AS sales_date,
            count(DISTINCT o_orderkey) AS total_orders,
-           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS total_revenue,
-           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(o_totalprice) * 100 + 0.5) / 100 AS avg_order_value,
+           floor({lsum_sql('o_totalprice')} * 100 + 0.5) / 100 AS total_revenue,
+           floor({lavg_sql('o_totalprice')} * 100 + 0.5) / 100 AS avg_order_value,
            count(DISTINCT o_custkey) AS unique_customers,
            0 AS new_customers
     FROM orders
@@ -45,8 +46,8 @@ def daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.col("o_orderdate").cast("date").alias("sales_date"))
         .agg(
             F.countDistinct("o_orderkey").alias("total_orders"),
-            pround(dsum(F.col("o_totalprice")), 2).alias("total_revenue"),
-            pround(davg(F.col("o_totalprice")), 2).alias("avg_order_value"),
+            pround(lsum(F.col("o_totalprice")), 2).alias("total_revenue"),
+            pround(lavg(F.col("o_totalprice")), 2).alias("avg_order_value"),
             F.countDistinct("o_custkey").alias("unique_customers"),
         )
         .withColumn("new_customers", F.lit(0))
@@ -61,8 +62,8 @@ def daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(o.o_orderkey) AS total_orders,
            count(DISTINCT CASE WHEN o.o_orderstatus = 'F' THEN o.o_orderkey END)
              AS completed_orders,
-           floor(coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0) * 100 + 0.5) / 100 AS total_spent,
-           floor(coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(o.o_totalprice), 0) * 100 + 0.5) / 100 AS avg_order_value,
+           floor(coalesce({lsum_sql('o.o_totalprice')}, 0) * 100 + 0.5) / 100 AS total_spent,
+           floor(coalesce({lavg_sql('o.o_totalprice')}, 0) * 100 + 0.5) / 100 AS avg_order_value,
            CAST(min(o.o_orderdate) AS DATE) AS first_order_date,
            CAST(max(o.o_orderdate) AS DATE) AS last_order_date,
            CAST(date_diff('day', CAST(max(o.o_orderdate) AS DATE),
@@ -103,7 +104,7 @@ def customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(
                 F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))
             ).alias("_done"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("_spent"),
+            F.sum(to_scaled_long(F.col("o_totalprice"))).alias("_spent_c"),
             F.count("o_totalprice").alias("_np"),
             F.min(F.col("o_orderdate").cast("date")).alias("_first"),
             F.max(F.col("o_orderdate").cast("date")).alias("_last"),
@@ -117,9 +118,9 @@ def customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("customer_segment"),
             F.coalesce(F.col("_n"), F.lit(0)).alias("total_orders"),
             F.coalesce(F.col("_done"), F.lit(0)).alias("completed_orders"),
-            pround(F.coalesce(F.col("_spent").cast("double"), F.lit(0)), 2)
+            pround(F.coalesce(F.col("_spent_c") / F.lit(100.0), F.lit(0)), 2)
              .alias("total_spent"),
-            pround(F.coalesce(F.col("_spent").cast("double") / F.col("_np"),
+            pround(F.coalesce(F.col("_spent_c") / F.lit(100.0) / F.col("_np"),
                               F.lit(0)), 2).alias("avg_order_value"),
             F.col("_first").alias("first_order_date"),
             F.col("_last").alias("last_order_date"),
@@ -139,7 +140,7 @@ def customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.p_brand AS brand,
            floor((p.p_retailprice) * 100 + 0.5) / 100 AS retail_price,
            floor((sum(l.l_quantity)) * 100 + 0.5) / 100 AS total_quantity,
-           floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) * 100 + 0.5) / 100 AS total_revenue,
+           floor((CAST(sum(CAST(floor((l.l_extendedprice) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor((l.l_discount) * 100 + 0.5) AS BIGINT))) AS BIGINT) / 10000.0) * 100 + 0.5) / 100 AS total_revenue,
            count(DISTINCT l.l_orderkey) AS order_count,
            CASE WHEN p.p_size > 0
                 THEN CAST(floor(sum(l.l_quantity) / p.p_size) AS BIGINT)
@@ -171,9 +172,9 @@ def product_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_partkey")
         .agg(
             F.sum("l_quantity").alias("_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
-                  * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
-             .alias("_rev"),
+            F.sum(to_scaled_long(F.col("l_extendedprice"))
+                  * (F.lit(100) - to_scaled_long(F.col("l_discount"))))
+             .alias("_rev4"),
             F.countDistinct("l_orderkey").alias("_orders"),
         )
     )
@@ -184,7 +185,7 @@ def product_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand").alias("brand"),
             pround(F.col("p_retailprice"), 2).alias("retail_price"),
             pround(F.col("_qty"), 2).alias("total_quantity"),
-            pround(F.col("_rev").cast("double"), 2).alias("total_revenue"),
+            pround(F.col("_rev4") / F.lit(10_000.0), 2).alias("total_revenue"),
             F.coalesce(F.col("_orders"), F.lit(0)).alias("order_count"),
             F.when(F.col("p_size") > 0,
                    F.floor(F.col("_qty") / F.col("p_size")).cast("bigint"))
@@ -199,8 +200,8 @@ def product_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
            CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
            count(DISTINCT o_orderkey) AS total_orders,
-           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS total_revenue,
-           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(o_totalprice) * 100 + 0.5) / 100 AS avg_order_value,
+           floor((CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0) * 100 + 0.5) / 100 AS total_revenue,
+           floor(((CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0) / count(o_totalprice)) * 100 + 0.5) / 100 AS avg_order_value,
            count(DISTINCT o_custkey) AS unique_customers
     FROM orders
     GROUP BY 1, 2
@@ -215,8 +216,8 @@ def monthly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.month("o_orderdate").alias("order_month"))
         .agg(
             F.countDistinct("o_orderkey").alias("total_orders"),
-            pround(dsum(F.col("o_totalprice")), 2).alias("total_revenue"),
-            pround(davg(F.col("o_totalprice")), 2).alias("avg_order_value"),
+            pround(lsum(F.col("o_totalprice")), 2).alias("total_revenue"),
+            pround(lavg(F.col("o_totalprice")), 2).alias("avg_order_value"),
             F.countDistinct("o_custkey").alias("unique_customers"),
         )
         .orderBy("order_year", "order_month")
@@ -351,7 +352,7 @@ _ATTRIBUTION_SQL = f"""
     WITH campaigns AS ({_CAMPAIGNS_SQL}
     ), ds AS (
       SELECT CAST(o_orderdate AS DATE) AS sales_date,
-             floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS total_revenue
+             floor((CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0) * 100 + 0.5) / 100 AS total_revenue
       FROM orders GROUP BY 1
     )
     SELECT c.campaign_id, c.start_date, c.end_date,
@@ -381,7 +382,7 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy(F.col("o_orderdate").cast("date").alias("sales_date"))
-        .agg(pround(dsum(F.col("o_totalprice")), 2).alias("total_revenue"))
+        .agg(pround(lsum(F.col("o_totalprice")), 2).alias("total_revenue"))
     )
 
 
@@ -437,7 +438,7 @@ def campaign_attribution_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH product_rev AS (
       SELECT p.p_partkey AS product_id,
              p.p_name AS product_name,
-             floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) * 100 + 0.5) / 100 AS total_revenue,
+             floor((CAST(sum(CAST(floor((l.l_extendedprice) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor((l.l_discount) * 100 + 0.5) AS BIGINT))) AS BIGINT) / 10000.0) * 100 + 0.5) / 100 AS total_revenue,
              floor((sum(l.l_quantity)) * 100 + 0.5) / 100 AS total_quantity,
              count(DISTINCT l.l_orderkey) AS order_count
       FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -468,9 +469,9 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_agg = (
         li.groupBy("l_partkey")
         .agg(
-            pround(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
-                         * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
-                   .cast("double"), 2).alias("total_revenue"),
+            pround(F.sum(to_scaled_long(F.col("l_extendedprice"))
+                         * (F.lit(100) - to_scaled_long(F.col("l_discount"))))
+                   / F.lit(10_000.0), 2).alias("total_revenue"),
             pround(F.sum("l_quantity"), 2).alias("total_quantity"),
             F.countDistinct("l_orderkey").alias("order_count"),
         )
@@ -539,8 +540,8 @@ def customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS quarter,
            count(DISTINCT o_orderkey) AS total_orders,
-           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS total_revenue,
-           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(o_totalprice) * 100 + 0.5) / 100 AS avg_order_value,
+           floor((CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0) * 100 + 0.5) / 100 AS total_revenue,
+           floor(((CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0) / count(o_totalprice)) * 100 + 0.5) / 100 AS avg_order_value,
            count(DISTINCT o_custkey) AS unique_customers
     FROM orders GROUP BY 1
     """,
@@ -555,8 +556,8 @@ def seasonal_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.quarter("o_orderdate").alias("quarter"))
         .agg(
             F.countDistinct("o_orderkey").alias("total_orders"),
-            pround(dsum(F.col("o_totalprice")), 2).alias("total_revenue"),
-            pround(davg(F.col("o_totalprice")), 2).alias("avg_order_value"),
+            pround(lsum(F.col("o_totalprice")), 2).alias("total_revenue"),
+            pround(lavg(F.col("o_totalprice")), 2).alias("avg_order_value"),
             F.countDistinct("o_custkey").alias("unique_customers"),
         )
     )
@@ -566,9 +567,9 @@ def seasonal_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "executive_summary",
     oracle=f"""
     SELECT * FROM
-      (SELECT floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS total_revenue,
+      (SELECT floor((CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0) * 100 + 0.5) / 100 AS total_revenue,
               count(*) AS total_orders,
-              floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(o_totalprice) * 100 + 0.5) / 100 AS avg_order_value
+              floor(((CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0) / count(o_totalprice)) * 100 + 0.5) / 100 AS avg_order_value
        FROM orders)
     CROSS JOIN
       (SELECT count(*) AS total_customers FROM customer)
@@ -589,9 +590,9 @@ def executive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     as_of = F.lit(AS_OF_DATE).cast("date")
     orders_agg = o.agg(
-        pround(dsum(F.col("o_totalprice")), 2).alias("total_revenue"),
+        pround(lsum(F.col("o_totalprice")), 2).alias("total_revenue"),
         F.count(F.lit(1)).alias("total_orders"),
-        pround(davg(F.col("o_totalprice")), 2).alias("avg_order_value"),
+        pround(lavg(F.col("o_totalprice")), 2).alias("avg_order_value"),
     )
     customers_agg = c.agg(F.count(F.lit(1)).alias("total_customers"))
     active = (

@@ -78,6 +78,31 @@ def test_spark_dsum_matches_duckdb_on_random_batch(spark):
     assert got == want
 
 
+def test_spark_lsum_matches_dsum_and_duckdb_on_random_batch(spark):
+    """The scaled-long fast path (functions/rounding.lsum) must be
+    cell-for-cell identical to the decimal path AND to its own DuckDB
+    SQL twin on random fixed-point money, incl. negatives and repeated
+    keys — the bit-compatibility the bench-query conversion relies
+    on."""
+    import random
+
+    rng = random.Random(43)
+    rows = [(i % 7, rng.randint(-10**9, 10**9) / 100.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k int, x double")
+    from ecommerce_data_engineering_spark.functions.rounding import (
+        dsum, lsum, lsum_sql)
+
+    got = {r.k: (r.ls, r.ds) for r in
+           df.groupBy("k").agg(lsum(F.col("x")).alias("ls"),
+                               dsum(F.col("x")).alias("ds")).collect()}
+    assert all(ls == ds for ls, ds in got.values())
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "x"]))
+    want = {k: v for k, v in con.execute(
+        f"SELECT k, {lsum_sql('x')} FROM t GROUP BY k").fetchall()}
+    assert {k: ls for k, (ls, _) in got.items()} == want
+
+
 def test_scd2_random_mutations_property(spark):
     """Random tracked-attribute mutations: after any merge, exactly one
     current row per key, closed rows precede their replacement, and
