@@ -85,6 +85,44 @@ def apply_diff(before: DataFrame, diff: DataFrame,
     return survivors.unionByName(additions)
 
 
+def changes_since(spark, root: str, keys: list[str],
+                  last_seen: int | None,
+                  compare_cols: list[str] | None = None):
+    """Incremental-consumption API over a versioned table
+    (:mod:`..sources.versioned`): return ``(diff, version)`` where
+    ``diff`` is everything that changed between the consumer's
+    ``last_seen`` committed version and the current one, and
+    ``version`` is the new cursor to persist.
+
+    First call (``last_seen=None``) returns the full current snapshot
+    as inserts — the standard bootstrap contract, so
+    ``apply_diff(empty, diff)`` materializes the table and every later
+    call is O(changes).  If nothing was published since ``last_seen``,
+    returns ``(None, last_seen)`` — poll loops skip the join entirely.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from ..sources import versioned as V
+
+    cur = V.current_version(spark, root)
+    if cur is None:
+        raise FileNotFoundError(f"{root}: no committed version")
+    if last_seen is not None and cur <= last_seen:
+        return None, last_seen
+    now = V.read_version(spark, root, cur)
+    if last_seen is None:
+        cols = ([c for c in now.columns if c not in keys]
+                if compare_cols is None else compare_cols)
+        boot = now.select(*keys, F.lit("insert").alias(CHANGE_COL),
+                          F.lit(None).cast(
+                              now.select(F.struct(*cols)).schema[0].dataType
+                          ).alias("before"),
+                          F.struct(*cols).alias("after"))
+        return boot, cur
+    prev = V.read_version(spark, root, last_seen)
+    return snapshot_diff(prev, now, keys, compare_cols), cur
+
+
 def diff_counts(diff: DataFrame) -> DataFrame:
     """Per-change-type row counts of a :func:`snapshot_diff` result —
     the summary a refresh job logs (and alerts on: a refresh that

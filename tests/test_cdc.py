@@ -142,3 +142,40 @@ def test_apply_diff_roundtrip_randomized(spark):
     assert canon(rebuilt) == canon(after)
     # and the diff is genuinely smaller than the snapshot (the point)
     assert diff.count() < after.count()
+
+
+def test_changes_since_incremental_consumption(spark):
+    """The CDC pull API: bootstrap = full snapshot as inserts, steady
+    state = keyed diff between the cursor and the live version, no-op
+    poll = (None, cursor); a vacuumed cursor fails loudly (consumer
+    must re-bootstrap)."""
+    from ecommerce_data_engineering_spark.operators.cdc import (
+        apply_diff, changes_since)
+
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "tbl")
+        v1 = V.publish_version(
+            spark.createDataFrame([(1, "A", 1.0), (2, "A", 1.0)], SCHEMA),
+            root)
+        boot, cur = changes_since(spark, root, ["k"], None)
+        assert cur == v1
+        assert {r.change for r in boot.collect()} == {"insert"}
+        empty = spark.createDataFrame([], SCHEMA)
+        assert sorted(map(tuple, apply_diff(empty, boot, ["k"]).collect())) \
+            == [(1, "A", 1.0), (2, "A", 1.0)]
+
+        # no-op poll: nothing published since the cursor
+        assert changes_since(spark, root, ["k"], cur) == (None, cur)
+
+        v2 = V.publish_version(
+            spark.createDataFrame([(1, "B", 1.0), (3, "C", 2.0)], SCHEMA),
+            root)
+        diff, cur2 = changes_since(spark, root, ["k"], cur)
+        assert cur2 == v2
+        assert _rows(diff) == {(1, "update"), (2, "delete"), (3, "insert")}
+
+        # cursor older than the vacuum horizon -> loud failure
+        V.publish_version(spark.createDataFrame([(9, "Z", 0.0)], SCHEMA), root)
+        V.vacuum(spark, root, keep=1)
+        with pytest.raises(FileNotFoundError):
+            changes_since(spark, root, ["k"], v2)
