@@ -300,3 +300,18 @@ def test_chunk_dedup_shuffles_positions_not_text(spark, sf_dir):
         shuffle_child = seg.split("\n")[1]
         assert "text" not in shuffle_child and "_chunks" not in shuffle_child, \
             shuffle_child
+
+
+def test_money_bench_aggregates_stay_primitive_long(spark, sf_dir):
+    """The scaled-long money path (functions/rounding.lsum) must keep
+    decimal arithmetic out of the hot bench aggregates: a regression
+    back to DECIMAL shows up as CheckOverflow / Decimal nodes and
+    costs ~3x (the round-3 conversion took pricing_summary 0.93 →
+    0.39 s at sf0.1)."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    for q in ("pricing_summary", "product_metrics", "daily_sales",
+              "top_products", "revenue_by_nation", "customer_metrics"):
+        plan = _plan(REGISTRY[q].fn(spark, sf_dir))
+        assert "CheckOverflow" not in plan and "Decimal" not in plan, (
+            q, [l for l in plan.splitlines() if "Decimal" in l][:3])
