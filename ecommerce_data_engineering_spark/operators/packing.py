@@ -45,6 +45,84 @@ def sql_shard_of(id_expr: str, num_shards: int, seed: int = 0) -> str:
             f"% {num_shards})")
 
 
+def pack_greedy_bfd(df: DataFrame, id_col: str, size_col: str,
+                    budget: int, num_shards: int = 16,
+                    seed: int = 0) -> DataFrame:
+    """Whole-document greedy packing (best-fit-decreasing): every
+    document lands in exactly one bin, bins never exceed ``budget``,
+    documents are never split — the packing regime for SFT/eval-style
+    data where truncating or splitting a sample corrupts it (vs
+    :func:`pack_sequences`' concat-and-chunk for pretraining).
+
+    Sequential by nature (each placement depends on all previous), so
+    it runs per hash shard as an Arrow-batched ``applyInPandas``: the
+    shard key bounds the sequential region, shards pack independently
+    and in parallel, and raising ``num_shards`` with the cluster keeps
+    each region executor-sized.  Within a shard the order is
+    deterministic (size desc, id asc; best-fit tie → lowest bin id),
+    so two runs — any partitioning — produce identical assignments.
+    Oversized documents (size > budget) get a dedicated bin each
+    (flagged ``oversized``) rather than being dropped silently.
+
+    Per-shard cost is O(n·log n) sort + O(n·B) placement in the worst
+    case; size shards so n_shard stays ~10⁵.  Iterative/stateful →
+    registered rows-only per the driver contract, with the packing
+    invariants (capacity, exactly-once, determinism, oversize
+    isolation) asserted in pytest.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("shard", T.IntegerType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField(size_col, T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("bin_fill", T.LongType()),
+        T.StructField("oversized", T.BooleanType()),
+    ])
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([size_col, id_col],
+                              ascending=[False, True])
+        fills: list[int] = []          # fill level per bin id
+        bin_of, fill_of, over = [], [], []
+        for size in pdf[size_col]:
+            if size > budget:
+                fills.append(size)     # dedicated overflow bin
+                bin_of.append(len(fills) - 1)
+                over.append(True)
+                continue
+            # best fit: fullest bin that still takes it; tie → lowest id
+            best, best_fill = -1, -1
+            for b, f in enumerate(fills):
+                if f + size <= budget and f > best_fill:
+                    best, best_fill = b, f
+            if best < 0:
+                fills.append(0)
+                best = len(fills) - 1
+            fills[best] += size
+            bin_of.append(best)
+            over.append(False)
+        for b in bin_of:
+            fill_of.append(fills[b])
+        return pd.DataFrame({
+            "shard": pdf["shard"].values,
+            id_col: pdf[id_col].values,
+            size_col: pdf[size_col].values.astype("int64"),
+            "bin_id": pd.array(bin_of, dtype="int64"),
+            "bin_fill": pd.array(fill_of, dtype="int64"),
+            "oversized": over,
+        })
+
+    staged = (df.select(F.col(id_col).cast("long").alias(id_col),
+                        F.col(size_col).cast("long").alias(size_col))
+              .withColumn("shard", shard_of(id_col, num_shards, seed)
+                          .cast("int")))
+    return staged.groupBy("shard").applyInPandas(pack_shard, out_schema)
+
+
 def pack_sequences(df: DataFrame, id_col: str, size_col: str,
                    budget: int, group_cols: tuple[str, ...] = (),
                    num_shards: int = 16, seed: int = 0) -> DataFrame:

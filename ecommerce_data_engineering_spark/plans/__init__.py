@@ -125,6 +125,7 @@ _PRIORITY = [
     "multimodal_manifest",
     "dedup_simhash_fingerprints",
     "corpus_dedup_stats",
+    "corpus_greedy_packing",
     "corpus_filter_pipeline",
     "dedup_embedding_clusters",
     "embedding_ann_lsh_multiprobe",

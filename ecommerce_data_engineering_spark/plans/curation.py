@@ -190,6 +190,30 @@ def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count_if("spills").alias("n_spills")))
 
 
+# rows-only: greedy whole-doc packing is sequential (each placement
+# depends on every previous one) — not SQL-expressible, same contract
+# as the iterative k-means row; the capacity / exactly-once /
+# determinism / oversize-isolation invariants are pytest-asserted
+# (tests/test_operators.py) instead.
+@query("corpus_greedy_packing", oracle=None, covers=("EXT-curation",))
+def corpus_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document best-fit-decreasing packing (budget 2048, 8 hash
+    shards) — the no-split regime for SFT/eval samples: per-shard bin
+    count, document count, token mass, waste (unused budget across
+    closed bins), and oversized-document count."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+    toks = docs.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
+    packed = PK.pack_greedy_bfd(toks, "doc_id", "n_tokens", PACK_BUDGET,
+                                num_shards=PACK_SHARDS, seed=PACK_SEED)
+    return (packed.groupBy("shard")
+            .agg(F.countDistinct("bin_id").alias("n_bins"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("shard_tokens"),
+                 F.count_if("oversized").alias("n_oversized")))
+
+
 @query(
     "corpus_gopher_rules",
     bench=True,

@@ -671,3 +671,44 @@ def test_epoch_upsample_materializes_exact_copy_counts(spark, sf_dir):
     assert 0.3 < stats["src0"]["f"] < 0.7          # ≈ 0.5
     assert 2.2 < stats["src1"]["f"] < 2.8          # ≈ 2.5
     assert stats["src0"]["zeros"] > 0              # real downsampling
+
+
+def test_greedy_bfd_packing_invariants(spark):
+    """Whole-doc best-fit-decreasing packing: no bin over budget
+    (except dedicated oversize bins), every doc placed exactly once,
+    oversized docs isolated one-per-bin, and the assignment is
+    deterministic across runs and input partitionings."""
+    import random
+
+    from ecommerce_data_engineering_spark.operators.packing import (
+        pack_greedy_bfd)
+
+    rng = random.Random(11)
+    budget = 100
+    rows = [(i, rng.choice([5, 17, 33, 49, 60, 97, 130]))
+            for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_greedy_bfd(df, "doc_id", "n_tokens", budget,
+                          num_shards=4).collect()
+
+    assert len(out) == 800
+    assert len({r.doc_id for r in out}) == 800      # exactly once
+    fills = {}
+    for r in out:
+        fills.setdefault((r.shard, r.bin_id), []).append(r)
+    for (shard, b), members in fills.items():
+        total = sum(m.n_tokens for m in members)
+        if any(m.oversized for m in members):
+            assert len(members) == 1                # isolation
+            assert members[0].n_tokens > budget
+        else:
+            assert total <= budget, (shard, b, total)
+        for m in members:
+            assert m.bin_fill == total              # reported fill
+
+    # determinism under a different partitioning
+    again = pack_greedy_bfd(df.repartition(13), "doc_id", "n_tokens",
+                            budget, num_shards=4).collect()
+    key = lambda r: (r.shard, r.doc_id)
+    assert sorted(map(tuple, out), key=lambda t: (t[0], t[1])) \
+        == sorted(map(tuple, again), key=lambda t: (t[0], t[1]))
