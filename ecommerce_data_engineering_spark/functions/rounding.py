@@ -106,6 +106,56 @@ def lavg(col: Column, scale: int = 2) -> Column:
     return lsum(col, scale) / F.count(col)
 
 
+# ---------------------------------------------------------------------------
+# Wide (hi/lo split) scaled-long sums — overflow headroom for PRODUCT
+# terms.
+#
+# lsum's single BIGINT sum is exact to 2^63 scaled units, which is
+# plenty for scale-2 cents but NOT for product terms: a scale-4 unit
+# like cents·(100−disc) is ~1e9 per row (sum wraps at ~9e9 rows per
+# group) and a scale-6 unit like cents·(100−disc)·(100+tax) is ~4e10
+# per row (wraps at ~2.5e8 rows per group) — a 100 TB lineitem global
+# aggregate is ~6e11 rows per group, far past both, and non-ANSI Spark
+# sum(long) wraps SILENTLY while the DuckDB twin errors.  lsum_wide
+# splits each term t into (t div 1e6, t mod 1e6), sums each half as
+# its own exact BIGINT, and recombines in double at the end:
+#
+#     sum(t) = sum(hi)·1e6 + sum(lo)
+#
+# Both halves stay primitive longs inside codegen (two fast-lane sums
+# instead of one); the ceiling becomes min(2^63/1e6 rows,
+# 2^63·1e6/max_t) per group ≈ 9.2e12 rows for the scale-6 term —
+# ~15× the global-group row count of a 100 TB corpus, and 37,000×
+# the unsplit ceiling.  The final recombination is two long→double
+# conversions + one FMA-free multiply-add executed identically on
+# both engines from identical exact integers → bit-identical output,
+# same guarantee as lsum.  Per-row requirement: t < 2^53 so the
+# (t−lo)/1e6 double division is exact — any fixed-point money product
+# satisfies this by orders of magnitude.
+# ---------------------------------------------------------------------------
+
+_WIDE_SPLIT = 1_000_000
+
+
+def lsum_wide(term: Column, scale_total: int) -> Column:
+    """Exact sum of a scaled-long PRODUCT term via hi/lo split BIGINT
+    sums, surfaced as double divided by 10^scale_total."""
+    lo = term % F.lit(_WIDE_SPLIT)
+    hi = ((term - lo) / F.lit(_WIDE_SPLIT)).cast("long")
+    return ((F.sum(hi).cast("double") * F.lit(float(_WIDE_SPLIT))
+             + F.sum(lo).cast("double"))
+            / F.lit(float(10 ** scale_total)))
+
+
+def lsum_wide_sql(term: str, scale_total: int) -> str:
+    """DuckDB twin of :func:`lsum_wide` (bit-identical recombination)."""
+    t = f"({term})"
+    lo = f"({t} % {_WIDE_SPLIT})"
+    hi = f"CAST(({t} - {lo}) / {_WIDE_SPLIT} AS BIGINT)"
+    return (f"((CAST(sum({hi}) AS DOUBLE) * {float(_WIDE_SPLIT)}"
+            f" + CAST(sum({lo}) AS DOUBLE)) / {float(10 ** scale_total)})")
+
+
 def to_scaled_long_sql(expr: str, scale: int = 2) -> str:
     return f"CAST(floor(({expr}) * {10 ** scale} + 0.5) AS BIGINT)"
 

@@ -107,7 +107,16 @@ def changes_since(spark, root: str, keys: list[str],
     cur = V.current_version(spark, root)
     if cur is None:
         raise FileNotFoundError(f"{root}: no committed version")
-    if last_seen is not None and cur <= last_seen:
+    if last_seen is not None and cur < last_seen:
+        # version numbering went BACKWARD relative to the cursor: the
+        # table was deleted and rebuilt (numbering restarts at 1).
+        # Treating it as "up to date" would silently starve the
+        # consumer forever — fail loudly, same as the vacuumed-cursor
+        # case, so the caller re-bootstraps with last_seen=None.
+        raise FileNotFoundError(
+            f"{root}: cursor {last_seen} is ahead of current version "
+            f"{cur} — the table was rebuilt; re-bootstrap the consumer")
+    if last_seen is not None and cur == last_seen:
         return None, last_seen
     now = V.read_version(spark, root, cur)
     if last_seen is None:

@@ -345,6 +345,12 @@ def chunk_exact_dedup(df: DataFrame, text_col: str, id_col: str,
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     staged = (df.select(F.col(id_col), w.alias("_w"))
                 .select(id_col, _chunk_array(chunk_words).alias("_chunks")))
+    # staged feeds three consumers (hashes→verdicts, hashes→dropped,
+    # and the final reassembly join): without a barrier the word-split
+    # + chunk-array construction — the dominant per-row cost — runs 3×
+    # per invocation.  persist, not localCheckpoint, for the same
+    # CacheManager-dedup reason as the minhash pairs frame above.
+    staged = staged.persist()
     hashes = staged.select(
         id_col,
         F.posexplode(F.transform("_chunks", F.md5)).alias("pos", "_h"))

@@ -84,6 +84,17 @@ def pack_greedy_bfd(df: DataFrame, id_col: str, size_col: str,
     ])
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL sizes arrive as NaN and would otherwise poison the fill
+        # arithmetic (NaN never satisfies f + size <= budget, the final
+        # int64 conversion raises) — fail with the offending ids, not a
+        # dtype traceback from the middle of the task.
+        bad = pdf[pdf[size_col].isna() | (pdf[size_col] < 0)]
+        if len(bad):
+            ids = sorted(bad[id_col].tolist())[:10]
+            raise ValueError(
+                f"pack_greedy_bfd: NULL or negative {size_col!r} for "
+                f"{len(bad)} row(s), ids {ids} — filter or default "
+                f"sizes upstream")
         pdf = pdf.sort_values([size_col, id_col],
                               ascending=[False, True])
         fills: list[int] = []          # fill level per bin id

@@ -100,6 +100,19 @@ def rademacher_weights(num_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def _plane_sign_bit(vec_col: str, ws: list[float], dim: int):
+    """'1'/'0' sign bit of one hyperplane dot product — the ONE
+    definition both the single-table and multi-table sign-LSH build
+    on, so the documented "table 0 reproduces lsh_cosine_topk exactly"
+    recall-dominance property can't silently desynchronize."""
+    arr = F.array(*[F.lit(w) for w in ws])
+    terms = F.aggregate(
+        F.zip_with(F.slice(F.col(vec_col), 1, dim), arr,
+                   lambda x, w: x.cast("double") * w),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(pround(terms, 9) > 0, F.lit("1")).otherwise(F.lit("0"))
+
+
 def hyperplane_sign_bits(df: DataFrame, vec_col: str, num_planes: int,
                          dim: int, out_col: str = "bucket") -> DataFrame:
     """Random-hyperplane signature as a '0'/'1' string of length H.
@@ -114,16 +127,8 @@ def hyperplane_sign_bits(df: DataFrame, vec_col: str, num_planes: int,
     hashes per QUERY PLAN, computed once on the driver.
     """
     weights = rademacher_weights(num_planes, dim)
-
-    def plane_dot(ws: list[float]):
-        arr = F.array(*[F.lit(w) for w in ws])
-        terms = F.aggregate(
-            F.zip_with(F.slice(F.col(vec_col), 1, dim), arr,
-                       lambda x, w: x.cast("double") * w),
-            F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(pround(terms, 9) > 0, F.lit("1")).otherwise(F.lit("0"))
-
-    return df.withColumn(out_col, F.concat(*[plane_dot(ws) for ws in weights]))
+    return df.withColumn(out_col, F.concat(
+        *[_plane_sign_bit(vec_col, ws, dim) for ws in weights]))
 
 
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
@@ -192,16 +197,9 @@ def lsh_cosine_topk_multitable(corpus: DataFrame, queries: DataFrame,
     weights = rademacher_weights(num_tables * num_planes, dim)
 
     def bucket_struct(t: int):
-        def plane_dot(ws: list[float]):
-            arr = F.array(*[F.lit(w) for w in ws])
-            terms = F.aggregate(
-                F.zip_with(F.slice(F.col(vec_col), 1, dim), arr,
-                           lambda x, w: x.cast("double") * w),
-                F.lit(0.0), lambda acc, x: acc + x)
-            return F.when(pround(terms, 9) > 0, F.lit("1")).otherwise(F.lit("0"))
-
-        bits = F.concat(*[plane_dot(weights[t * num_planes + p])
-                          for p in range(num_planes)])
+        bits = F.concat(
+            *[_plane_sign_bit(vec_col, weights[t * num_planes + p], dim)
+              for p in range(num_planes)])
         return F.struct(F.lit(t).alias("table"), bits.alias("bucket"))
 
     tables = F.array(*[bucket_struct(t) for t in range(num_tables)])

@@ -19,8 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.rounding import (pround, to_scaled_long,
-                                  to_scaled_long_sql)
+from ..functions.rounding import (lsum_wide, lsum_wide_sql, pround,
+                                  to_scaled_long, to_scaled_long_sql)
 from ..sources import load
 from .registry import query
 
@@ -66,13 +66,16 @@ def _tax_p():
 
 
 def sum_disc_price():
-    """Exact Σ extendedprice·(1−discount) in scaled-long space."""
-    return (F.sum(_ep_c() * (F.lit(100) - _disc_p()))
-            / F.lit(10_000.0))
+    """Exact Σ extendedprice·(1−discount) in scaled-long space.
+
+    hi/lo split sum (rounding.lsum_wide): the scale-4 product term is
+    ~1e9 per row, so a single BIGINT sum would silently wrap at ~9e9
+    rows per group — under the 100 TB target's per-nation group sizes.
+    The split form is exact to ~9e12 rows per group."""
+    return lsum_wide(_ep_c() * (F.lit(100) - _disc_p()), 4)
 
 
-SUM_DISC_PRICE_SQL = (f"(CAST(sum({_EP_C} * (100 - {_DISC_P})) AS BIGINT)"
-                      f" / 10000.0)")
+SUM_DISC_PRICE_SQL = lsum_wide_sql(f"{_EP_C} * (100 - {_DISC_P})", 4)
 
 
 @query(
@@ -83,7 +86,7 @@ SUM_DISC_PRICE_SQL = (f"(CAST(sum({_EP_C} * (100 - {_DISC_P})) AS BIGINT)"
            floor((CAST(sum({_EP_C}) AS BIGINT) / 100.0) * 100 + 0.5) / 100 AS sum_base_price,
            floor({SUM_DISC_PRICE_SQL} * 100 + 0.5) / 100
              AS sum_disc_price,
-           floor((CAST(sum({_EP_C} * (100 - {_DISC_P}) * (100 + {_TAX_P})) AS BIGINT) / 1000000.0) * 100 + 0.5) / 100
+           floor({lsum_wide_sql(f"{_EP_C} * (100 - {_DISC_P}) * (100 + {_TAX_P})", 6)} * 100 + 0.5) / 100
              AS sum_charge,
            floor(sum(l_quantity) / count(*) * 100 + 0.5) / 100 AS avg_qty,
            floor((CAST(sum({_EP_C}) AS BIGINT) / 100.0) / count(*) * 100 + 0.5) / 100 AS avg_price,
@@ -113,8 +116,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("l_quantity"), 2).alias("sum_qty"),
             pround(F.sum(_ep_c()) / F.lit(100.0), 2).alias("sum_base_price"),
             pround(sum_disc_price(), 2).alias("sum_disc_price"),
-            pround(F.sum(_ep_c() * (F.lit(100) - _disc_p())
-                         * (F.lit(100) + _tax_p())) / F.lit(1_000_000.0), 2)
+            pround(lsum_wide(_ep_c() * (F.lit(100) - _disc_p())
+                             * (F.lit(100) + _tax_p()), 6), 2)
              .alias("sum_charge"),
             pround(F.sum("l_quantity") / n, 2).alias("avg_qty"),
             pround(F.sum(_ep_c()) / F.lit(100.0) / n, 2).alias("avg_price"),

@@ -97,19 +97,39 @@ def read_csv_quarantine(
     clean frame (corrupt column dropped) and the quarantine frame
     (typed columns as far as parsing got, plus the raw line).
 
-    Both frames come from the SAME scan lineage — at 100 TB the two
-    filters run in one pass each over the pushdown-pruned scan, and
-    writing ``bad`` to a side table is the streaming-friendly
-    dead-letter pattern.
+    Both frames come from the SAME text-scan lineage — at 100 TB the
+    two filters run in one pass each, and writing ``bad`` to a side
+    table is the streaming-friendly dead-letter pattern.
+
+    Implementation note: this deliberately reads ``text`` + ``from_csv``
+    rather than ``spark.read.csv(mode=PERMISSIVE)`` — Spark refuses any
+    query on a raw CSV/JSON scan whose referenced columns are only the
+    internal corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    CORRUPT_RECORD_COLUMN), so even ``good.count()`` on the
+    filter-split frames would throw; the documented workaround is to
+    cache the scan, which is a non-starter at ingest scale.  Parsing
+    the line as a struct column has no such restriction.  Limitations
+    of the text path: records must be single-line (no embedded
+    newlines), and with ``header=True`` any data line byte-identical
+    to the header line is dropped as a header.
     """
+    from pyspark.sql import functions as F
+
     full = T.StructType(list(schema.fields)
                         + [T.StructField(corrupt_col, T.StringType())])
-    df = (spark.read
-          .option("columnNameOfCorruptRecord", corrupt_col)
-          .csv(path, header=header, schema=full, mode="PERMISSIVE"))
-    from pyspark.sql import functions as F
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = df.filter(F.col(corrupt_col).isNotNull())
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in full.fields)
+    raw = spark.read.text(path)
+    if header:
+        expected = ",".join(f.name for f in schema.fields)
+        raw = raw.filter(F.col("value") != expected)
+    parsed = raw.select(
+        F.from_csv(F.col("value"), ddl,
+                   {"mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": corrupt_col}).alias("r"))
+    good = parsed.filter(F.col(f"r.{corrupt_col}").isNull()) \
+                 .select("r.*").drop(corrupt_col)
+    bad = parsed.filter(F.col(f"r.{corrupt_col}").isNotNull()).select("r.*")
     return good, bad
 
 
@@ -119,33 +139,60 @@ def read_json_quarantine(
     """JSON-lines twin of :func:`read_csv_quarantine` (event feeds are
     JSON in practice — the fixture ``events.props`` column models the
     payload).  Malformed lines land in the quarantine frame with the
-    raw text preserved."""
+    raw text preserved.  Built on ``text`` + ``from_json`` for the same
+    corrupt-record-only-query reason as :func:`read_csv_quarantine`."""
+    from pyspark.sql import functions as F
+
     full = T.StructType(list(schema.fields)
                         + [T.StructField(corrupt_col, T.StringType())])
-    df = (spark.read
-          .option("columnNameOfCorruptRecord", corrupt_col)
-          .schema(full).json(path))
-    from pyspark.sql import functions as F
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = df.filter(F.col(corrupt_col).isNotNull())
+    parsed = spark.read.text(path).select(
+        F.from_json(F.col("value"), full,
+                    {"mode": "PERMISSIVE",
+                     "columnNameOfCorruptRecord": corrupt_col}).alias("r"))
+    good = parsed.filter(F.col(f"r.{corrupt_col}").isNull()) \
+                 .select("r.*").drop(corrupt_col)
+    bad = parsed.filter(F.col(f"r.{corrupt_col}").isNotNull()).select("r.*")
     return good, bad
 
 
-_NUMERIC_LADDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+_INT_LADDER = ["tinyint", "smallint", "int", "bigint"]
+
+# (int_type, float_type) pairs whose union is EXACT in the float type:
+# float's 24-bit significand covers int16, double's 53-bit covers int32.
+# int→float for int32+, and int64→double, silently corrupt values above
+# 2^24 / 2^53 (e.g. 64-bit surrogate keys collapsing to the nearest
+# representable float → duplicate ids), so those unions are hard errors
+# — same stance parquet mergeSchema takes on exactly this drift.
+_EXACT_INT_IN_FLOAT = {
+    ("tinyint", "float"), ("smallint", "float"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+}
 
 
 def _widen(a: T.DataType, b: T.DataType, col: str) -> T.DataType:
-    """Safe common type for schema evolution: equal types, or the wider
-    of two numeric types (the ladder every engine's schema-merge
-    implements); anything else is a hard error — silently casting
-    string↔int across file generations corrupts data."""
+    """Safe common type for schema evolution: equal types, or a numeric
+    widening that is provably LOSSLESS (int ladder, float→double, and
+    int→float only where the float significand covers the full int
+    range); anything lossy — string↔int, bigint↔float/double,
+    int↔float — is a hard error, because silently corrupting values
+    across file generations is worse than failing the read."""
     if a == b:
         return a
     sa, sb = a.simpleString(), b.simpleString()
-    if sa in _NUMERIC_LADDER and sb in _NUMERIC_LADDER:
+    if sa in _INT_LADDER and sb in _INT_LADDER:
         return T._parse_datatype_string(
-            _NUMERIC_LADDER[max(_NUMERIC_LADDER.index(sa),
-                                _NUMERIC_LADDER.index(sb))])
+            _INT_LADDER[max(_INT_LADDER.index(sa), _INT_LADDER.index(sb))])
+    if {sa, sb} == {"float", "double"}:
+        return T.DoubleType()
+    for i, f in ((sa, sb), (sb, sa)):
+        if (i, f) in _EXACT_INT_IN_FLOAT:
+            return T.FloatType() if f == "float" else T.DoubleType()
+        if i in _INT_LADDER and f in ("float", "double"):
+            raise TypeError(
+                f"column {col!r}: {i}→{f} across file generations is "
+                f"lossy (the {f} significand cannot represent every "
+                f"{i} value) — refusing to silently corrupt; rewrite "
+                f"one generation or read them separately")
     raise TypeError(f"column {col!r}: incompatible types across file "
                     f"generations ({sa} vs {sb})")
 

@@ -117,5 +117,16 @@ def curated_corpus_incremental(spark: SparkSession, src_dir: str,
         q.stop()
         raise TimeoutError(
             f"streaming corpus ingest did not finish within {timeout_s}s")
-    return spark.read.option("basePath", out_path).parquet(
-        f"{out_path.rstrip('/')}/epoch=*")
+    out_glob = f"{out_path.rstrip('/')}/epoch=*"
+    # an empty feed (first scheduler run before the producer lands any
+    # file) finishes with zero batches and zero epoch directories; the
+    # glob read would then raise PATH_NOT_FOUND — a poll loop tolerating
+    # an empty feed should get 0 rows, not a crash
+    jvm_conf = spark._jsc.hadoopConfiguration()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = jpath.getFileSystem(jvm_conf)
+    if not fs.exists(jpath) or not fs.globStatus(
+            spark._jvm.org.apache.hadoop.fs.Path(out_glob)):
+        return (spark.createDataFrame([], FIXTURES["documents"])
+                .withColumn("epoch", F.lit(None).cast("int")))
+    return spark.read.option("basePath", out_path).parquet(out_glob)

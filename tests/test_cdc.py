@@ -179,3 +179,12 @@ def test_changes_since_incremental_consumption(spark):
         V.vacuum(spark, root, keep=1)
         with pytest.raises(FileNotFoundError):
             changes_since(spark, root, ["k"], v2)
+
+        # cursor AHEAD of the live version (table deleted and rebuilt,
+        # numbering restarted) -> loud failure too, not an eternal
+        # "up to date" no-op that silently starves the consumer
+        root2 = os.path.join(d, "tbl2")
+        V.publish_version(
+            spark.createDataFrame([(1, "A", 1.0)], SCHEMA), root2)
+        with pytest.raises(FileNotFoundError, match="ahead"):
+            changes_since(spark, root2, ["k"], 99)

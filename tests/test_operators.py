@@ -712,3 +712,12 @@ def test_greedy_bfd_packing_invariants(spark):
     key = lambda r: (r.shard, r.doc_id)
     assert sorted(map(tuple, out), key=lambda t: (t[0], t[1])) \
         == sorted(map(tuple, again), key=lambda t: (t[0], t[1]))
+
+    # a NULL size must fail loudly with the offending id — not a NaN
+    # dtype traceback from the middle of the packing task
+    import pytest as _pytest
+    bad = spark.createDataFrame([(1, 10), (2, None)],
+                                "doc_id long, n_tokens long")
+    with _pytest.raises(Exception, match="NULL or negative"):
+        pack_greedy_bfd(bad, "doc_id", "n_tokens", budget,
+                        num_shards=2).collect()

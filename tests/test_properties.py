@@ -103,6 +103,53 @@ def test_spark_lsum_matches_dsum_and_duckdb_on_random_batch(spark):
     assert {k: ls for k, (ls, _) in got.items()} == want
 
 
+def test_lsum_wide_matches_narrow_and_duckdb_and_survives_wrap(spark):
+    """The hi/lo split sum (rounding.lsum_wide) must (a) agree bit-for-
+    bit with the unsplit scaled-long product sum AND its DuckDB twin on
+    realistic money products, and (b) stay correct where the unsplit
+    BIGINT sum silently wraps past 2^63 — the overflow headroom the
+    100 TB global aggregates rely on."""
+    import random
+
+    from ecommerce_data_engineering_spark.functions.rounding import (
+        lsum_wide, lsum_wide_sql, to_scaled_long, to_scaled_long_sql)
+
+    rng = random.Random(7)
+    rows = [(i % 5, rng.randint(0, 10**7) / 100.0, rng.randint(0, 10) / 100.0)
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "k int, ep double, disc double")
+    term = to_scaled_long(F.col("ep")) * (F.lit(100)
+                                          - to_scaled_long(F.col("disc")))
+    got = {r.k: (r.wide, r.narrow) for r in
+           df.groupBy("k")
+             .agg(lsum_wide(term, 4).alias("wide"),
+                  (F.sum(term) / F.lit(10_000.0)).alias("narrow"))
+             .collect()}
+    assert all(w == n for w, n in got.values()), got
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "ep", "disc"]))
+    t_sql = (f"{to_scaled_long_sql('ep')} * "
+             f"(100 - {to_scaled_long_sql('disc')})")
+    want = dict(con.execute(
+        f"SELECT k, {lsum_wide_sql(t_sql, 4)} FROM t GROUP BY k").fetchall())
+    assert {k: w for k, (w, _) in got.items()} == want
+
+    # overflow regime: 12 rows of 9e17 sum to 1.08e19 > 2^63 — under
+    # this engine's ANSI mode the unsplit long sum ABORTS the query
+    # (ARITHMETIC_OVERFLOW; with ansi off it would wrap silently);
+    # either way a 100 TB global aggregate must not do that — the
+    # split sum stays on the true value
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    big = spark.createDataFrame([(9 * 10**17,)] * 12, "t long")
+    with _pytest.raises(ArithmeticException):
+        big.agg(F.sum("t").alias("narrow")).collect()
+    r = big.agg(lsum_wide(F.col("t"), 0).alias("wide")).collect()[0]
+    true = 12 * 9e17
+    assert abs(r.wide - true) / true < 1e-9   # split sum survives
+
+
 def test_scd2_random_mutations_property(spark):
     """Random tracked-attribute mutations: after any merge, exactly one
     current row per key, closed rows precede their replacement, and

@@ -271,6 +271,11 @@ def test_csv_quarantine_splits_good_and_bad(spark):
         ])
         good, bad = read_csv_quarantine(spark, path, schema)
         assert good.columns == ["id", "qty"]
+        # column-pruned actions must work: the naive PERMISSIVE-scan
+        # implementation throws UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+        # RECORD_COLUMN on exactly these counts
+        assert good.count() == 2
+        assert bad.count() == 1
         assert {(r.id, r.qty) for r in good.collect()} == {(1, 10), (3, 30)}
         bad_rows = bad.collect()
         assert len(bad_rows) == 1
@@ -292,6 +297,7 @@ def test_json_quarantine_splits_good_and_bad(spark):
             T.StructField("v", T.DoubleType()),
         ])
         good, bad = read_json_quarantine(spark, path, schema)
+        assert good.count() == 2 and bad.count() == 1
         assert {r.id for r in good.collect()} == {1, 3}
         bad_rows = bad.collect()
         assert len(bad_rows) == 1
@@ -321,6 +327,21 @@ def test_read_evolved_widens_and_nullfills(spark):
         import pytest as _pytest
         with _pytest.raises(TypeError, match="incompatible"):
             read_evolved(spark, [g1, g3])
+
+        # bigint↔float/double drift is LOSSY (floats can't represent
+        # every int64 — 64-bit keys would collapse to the nearest
+        # representable value), so it must hard-error, not "widen"
+        g4 = os.path.join(d, "g4")
+        spark.range(1).selectExpr("CAST(id AS FLOAT) AS k",
+                                  "CAST(id AS INT) AS v").write.parquet(g4)
+        with _pytest.raises(TypeError, match="lossy"):
+            read_evolved(spark, [g2, g4])      # bigint k vs float k
+        # smallint+float IS exact (24-bit significand covers int16)
+        g5 = os.path.join(d, "g5")
+        spark.range(1).selectExpr("CAST(id AS SMALLINT) AS k",
+                                  "CAST(id AS INT) AS v").write.parquet(g5)
+        df45 = read_evolved(spark, [g4, g5])
+        assert dict(df45.dtypes)["k"] == "float"
 
 
 def test_clustered_write_file_skipping(spark):

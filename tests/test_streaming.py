@@ -237,6 +237,15 @@ def test_streaming_corpus_curation_equals_batch(spark, sf_dir, tmp_path):
             docs.join(keepers, "doc_id", "left_semi")
             .filter(gopher_gate("text")).select("doc_id").collect()}
     assert got == want and len(want) > 0
+
+    # empty feed (producer hasn't landed a file yet): 0 rows, not a
+    # PATH_NOT_FOUND crash from the epoch-glob read
+    empty_src = tmp_path / "empty_feed"
+    empty_src.mkdir()
+    none = curated_corpus_incremental(
+        spark, str(empty_src), str(tmp_path / "registry0"),
+        str(tmp_path / "curated0"), str(tmp_path / "ckpt0"))
+    assert none.count() == 0
     # no doc admitted twice across epochs
     assert out.count() == out.select("doc_id").distinct().count()
 
