@@ -132,6 +132,52 @@ def changes_since(spark, root: str, keys: list[str],
     return snapshot_diff(prev, now, keys, compare_cols), cur
 
 
+def incremental_agg_refresh(prev: DataFrame, diff: DataFrame,
+                            group_keys: list[str], sum_cols: list[str],
+                            count_col: str = "n") -> DataFrame:
+    """Maintain a grouped sum/count aggregate from a CDC diff in
+    O(|aggregate| + |changes|) — never re-reading the fact table.
+
+    ``prev`` is the existing aggregate state: ``group_keys`` +
+    ``sum_cols`` (additive measures, already in their exact
+    representation — integer cents for money) + ``count_col`` (row
+    count per group).  ``diff`` is a :func:`snapshot_diff` result whose
+    ``before``/``after`` structs contain both the group keys and the
+    measures.
+
+    Delta algebra: a delete/update contributes (−measures, −1) under
+    its BEFORE group key, an insert/update contributes (+measures, +1)
+    under its AFTER key — so an update that *moves* a row between
+    groups (e.g. a customer switching segment) debits one group and
+    credits the other.  The refreshed state is one groupBy over
+    ``prev ∪ deltas``; groups whose count reaches zero are dropped.
+
+    Scale shape: the shuffle is over |groups| + 2·|changes| rows —
+    independent of fact-table size, which is the whole point: at 100 TB
+    the nightly metric refresh costs minutes over the diff instead of a
+    full recompute.  Exactness: callers keep additive measures in
+    scaled-long space (``rounding.to_scaled_long``) so the +/− delta
+    arithmetic is exact and order-independent; negation of an exact
+    long is exact, unlike floating-point accumulate-then-cancel.
+
+    NULL measures contribute nothing to their sum but the row still
+    counts in ``count_col`` (count = rows, not non-null values).
+    """
+    neg = (diff.filter(F.col(CHANGE_COL) != "insert")
+           .select(*[F.col(f"before.{k}").alias(k) for k in group_keys],
+                   *[(-F.col(f"before.{m}")).alias(m) for m in sum_cols],
+                   F.lit(-1).cast("bigint").alias(count_col)))
+    pos = (diff.filter(F.col(CHANGE_COL) != "delete")
+           .select(*[F.col(f"after.{k}").alias(k) for k in group_keys],
+                   *[F.col(f"after.{m}").alias(m) for m in sum_cols],
+                   F.lit(1).cast("bigint").alias(count_col)))
+    return (prev.unionByName(neg).unionByName(pos)
+            .groupBy(*group_keys)
+            .agg(*[F.sum(m).alias(m) for m in sum_cols],
+                 F.sum(count_col).alias(count_col))
+            .filter(F.col(count_col) > 0))
+
+
 def diff_counts(diff: DataFrame) -> DataFrame:
     """Per-change-type row counts of a :func:`snapshot_diff` result —
     the summary a refresh job logs (and alerts on: a refresh that

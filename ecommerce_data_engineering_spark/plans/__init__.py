@@ -112,6 +112,7 @@ _PRIORITY = [
     "corpus_gopher_rules",
     "daily_sales",
     "snapshot_cdc_diff",
+    "cdc_incremental_metrics",
     "scd2_change_detection",
     "customer_acquisition",
     "customer_segmentation",
@@ -120,6 +121,7 @@ _PRIORITY = [
     "event_type_daily_share",
     "month_over_month_delta",
     "order_value_percentiles",
+    "order_value_percentiles_approx",
     "unpivot_monthly_metrics",
     "doc_stats",
     "multimodal_manifest",

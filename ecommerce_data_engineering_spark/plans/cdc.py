@@ -16,8 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.rounding import pround, pround_sql
-from ..operators.cdc import snapshot_diff
+from ..functions.rounding import (pround, pround_sql, to_scaled_long,
+                                  to_scaled_long_sql)
+from ..operators.cdc import incremental_agg_refresh, snapshot_diff
 from ..sources import load
 from .registry import query
 
@@ -82,3 +83,72 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("after.c_mktsegment").alias("after_segment"),
         pround(F.col("before.c_acctbal")).alias("before_acctbal"),
         pround(F.col("after.c_acctbal")).alias("after_acctbal"))
+
+
+_BAL_C = to_scaled_long_sql("c_acctbal")
+
+# the oracle recomputes the per-segment aggregate FROM SCRATCH over the
+# v2 snapshot — the Spark side must land on the identical state having
+# only touched the v1 aggregate plus the diff, which is exactly the
+# incremental-maintenance contract being verified
+_INC_ORACLE = f"""
+WITH v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY'
+              ELSE c_mktsegment END AS c_mktsegment,
+         {_BAL_C} + CASE WHEN c_custkey % 13 = 0 THEN 1000 ELSE 0 END
+           AS bal_c
+  FROM customer WHERE c_custkey % 100 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW', 0
+  FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT c_mktsegment AS segment,
+       count(*) AS n_customers,
+       floor((CAST(sum(bal_c) AS BIGINT) / 100.0) * 100 + 0.5) / 100
+         AS total_acctbal,
+       floor((CAST(sum(bal_c) AS BIGINT) / 100.0) / count(*) * 100 + 0.5)
+         / 100 AS avg_acctbal
+FROM v2 GROUP BY c_mktsegment
+"""
+
+
+@query("cdc_incremental_metrics", oracle=_INC_ORACLE, covers=("M2", "A1"),
+       bench=True)
+def cdc_incremental_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: refresh a per-segment
+    (count, exact-cents sum) metric table from the v1→v2 CDC diff via
+    :func:`..operators.cdc.incremental_agg_refresh` — O(|aggregate| +
+    |changes|), fact table untouched — and prove the refreshed state
+    equals a from-scratch recompute of v2 (the oracle).  The fixture
+    mutations exercise every delta path: deletes (every 100th key),
+    balance updates (13th), group-MOVING updates (7th switches
+    segment: one group debited, another credited), and inserts into a
+    brand-new group ('NEW', exercising a group born from the diff)."""
+    base = load(spark, sf_dir, "customer")
+    bal_c = to_scaled_long(F.col("c_acctbal"))
+    v1 = base.select("c_custkey", "c_mktsegment", bal_c.alias("bal_c"))
+    v2 = (base.filter(F.col("c_custkey") % 100 != 0)
+          .select(
+              "c_custkey",
+              F.when(F.col("c_custkey") % 7 == 0, F.lit("MACHINERY"))
+               .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+              (bal_c + F.when(F.col("c_custkey") % 13 == 0, F.lit(1000))
+                        .otherwise(F.lit(0))).alias("bal_c"))
+          .unionByName(
+              base.filter(F.col("c_custkey") % 97 == 0)
+              .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+                      F.lit("NEW").alias("c_mktsegment"),
+                      F.lit(0).cast("bigint").alias("bal_c"))))
+    prev = (v1.groupBy("c_mktsegment")
+            .agg(F.sum("bal_c").alias("bal_c"),
+                 F.count(F.lit(1)).alias("n")))
+    diff = snapshot_diff(v1, v2, ["c_custkey"], ["c_mktsegment", "bal_c"])
+    refreshed = incremental_agg_refresh(prev, diff, ["c_mktsegment"],
+                                        ["bal_c"], count_col="n")
+    return refreshed.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n").alias("n_customers"),
+        pround(F.col("bal_c") / F.lit(100.0), 2).alias("total_acctbal"),
+        pround(F.col("bal_c") / F.lit(100.0) / F.col("n"), 2)
+            .alias("avg_acctbal"))

@@ -199,6 +199,32 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_value_percentiles_approx",
+    oracle=None,   # sketch is approximate by design → rows-only;
+    # test_windows.py asserts the rank-error guarantee vs the exact row
+    covers=("EXT-percentile", "EXT-approx"),
+)
+def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Quantile-sketch percentiles per status (percentile_approx, the
+    Greenwald–Khanna-style mergeable sketch) — the 100 TB path: exact
+    ``percentile`` materializes every group's full value set on one
+    reducer, while the sketch is one pass, bounded memory
+    (O(1/ε·log εN) per group), and merges associatively across
+    partitions.  accuracy=10000 → rank error ε ≤ 1/10000; pytest pins
+    the guarantee: each approximate quantile lies between the exact
+    (q−ε) and (q+ε) quantiles on every fixture."""
+    o = load(spark, sf_dir, "orders")
+    acc = F.lit(10_000)
+    return (o.groupBy(F.col("o_orderstatus").alias("order_status"))
+            .agg(pround(F.percentile_approx("o_totalprice", F.lit(0.5), acc),
+                        2).alias("median_value"),
+                 pround(F.percentile_approx("o_totalprice", F.lit(0.9), acc),
+                        2).alias("p90_value"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@query(
     "approx_distinct_users",
     oracle=None,   # approximate by design → rows-only driver check
     covers=("EXT-approx",),

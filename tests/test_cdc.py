@@ -188,3 +188,50 @@ def test_changes_since_incremental_consumption(spark):
             spark.createDataFrame([(1, "A", 1.0)], SCHEMA), root2)
         with pytest.raises(FileNotFoundError, match="ahead"):
             changes_since(spark, root2, ["k"], 99)
+
+
+def test_incremental_agg_refresh_equals_recompute_on_random_mutations(spark):
+    """Property: for ANY mutation mix (deletes, value updates,
+    group-moving updates, inserts incl. brand-new groups, rows going
+    to zero-count groups), maintaining the aggregate from the diff
+    lands on exactly the state a from-scratch recompute of v2 gives."""
+    import random
+
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.operators.cdc import (
+        incremental_agg_refresh, snapshot_diff)
+
+    rng = random.Random(11)
+    groups = ["a", "b", "c", "d", "lonely"]
+    v1_rows = [(k, groups[k % 4], rng.randint(-500, 500))
+               for k in range(400)] + [(9999, "lonely", 7)]
+    v2_rows = []
+    for k, g, x in v1_rows:
+        r = rng.random()
+        if r < 0.15:
+            continue                               # delete
+        if r < 0.30:
+            v2_rows.append((k, rng.choice(groups[:4]), x))   # group move
+        elif r < 0.45:
+            v2_rows.append((k, g, x + rng.randint(-50, 50)))  # value change
+        else:
+            v2_rows.append((k, g, x))              # unchanged
+    v2_rows += [(10_000 + i, rng.choice(groups[:4] + ["born"]),
+                 rng.randint(-500, 500)) for i in range(40)]  # inserts
+    # force the 'lonely' group empty if its one row survived unchanged
+    v2_rows = [r for r in v2_rows if r[1] != "lonely"]
+
+    v1 = spark.createDataFrame(v1_rows, "k long, g string, x long")
+    v2 = spark.createDataFrame(v2_rows, "k long, g string, x long")
+
+    def agg(df):
+        return (df.groupBy("g").agg(F.sum("x").alias("x"),
+                                    F.count(F.lit(1)).alias("n")))
+
+    diff = snapshot_diff(v1, v2, ["k"], ["g", "x"])
+    got = sorted(map(tuple, incremental_agg_refresh(
+        agg(v1), diff, ["g"], ["x"]).collect()))
+    want = sorted(map(tuple, agg(v2).collect()))
+    assert got == want
+    assert not any(g == "lonely" for g, *_ in got)   # zero-count dropped
+    assert any(g == "born" for g, *_ in got)         # diff-born group

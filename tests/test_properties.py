@@ -265,6 +265,51 @@ def test_approx_distinct_users_error_bound(spark, sf):
         assert approx[et].n_events == row.n_events
 
 
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01",
+                                "/root/testdata/sf0.1"])
+def test_approx_percentiles_rank_error_bound(spark, sf):
+    """Quantitative backing for the rows-only
+    order_value_percentiles_approx driver row: with accuracy=10000 the
+    sketch guarantees rank error ε ≤ 1/10000, i.e. each reported
+    quantile q must lie between the EXACT (q−ε) and (q+ε) quantiles —
+    checked per status on every fixture scale, plus the row-count
+    companion column exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+    from ecommerce_data_engineering_spark.sources import load
+
+    if not os.path.isdir(sf):
+        pytest.skip(f"{sf} not generated this round")
+    eps = 1.0 / 10_000
+    approx = {r.order_status: r for r in
+              REGISTRY["order_value_percentiles_approx"]
+              .fn(spark, sf).collect()}
+    o = load(spark, sf, "orders")
+    counts = {}
+    for status, a in approx.items():
+        counts[status] = (
+            o.filter(F.col("o_orderstatus") == status)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.count_if(F.col("o_totalprice") <= v + 1e-6).alias(f"le{n}")
+                   for v, n in ((a.median_value, 50), (a.p90_value, 90))],
+                 *[F.count_if(F.col("o_totalprice") < v - 1e-6).alias(f"lt{n}")
+                   for v, n in ((a.median_value, 50), (a.p90_value, 90))])
+            .collect()[0])
+    assert len(approx) > 0
+    for status, c in counts.items():
+        a = approx[status]
+        assert a.n_orders == c.n
+        # rank guarantee: the returned value's rank interval [n_lt, n_le]
+        # must overlap [(q−ε)·N − 1, (q+ε)·N + 1] for each quantile q
+        for q, le, lt in ((0.5, c.le50, c.lt50), (0.9, c.le90, c.lt90)):
+            assert lt <= (q + eps) * c.n + 1, (sf, status, q, lt, c.n)
+            assert le >= (q - eps) * c.n - 1, (sf, status, q, le, c.n)
+
+
 @given(st.lists(st.text(alphabet="abcdefgh 0123", min_size=1, max_size=24),
                 min_size=1, max_size=40, unique=True))
 @settings(max_examples=30, deadline=None)
