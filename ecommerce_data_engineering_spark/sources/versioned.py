@@ -45,7 +45,13 @@ def _versions(spark: SparkSession, root: str,
             committed.add(int(name[len(_MARK):]))
         elif st.isDirectory() and name.startswith("v="):
             dirs.add(int(name[2:]))
-    return sorted(committed & dirs if committed_only else dirs)
+    # committed_only=False is the "every number ever used" view (publish
+    # numbering, vacuum sweep): the UNION, not just dirs — a stale
+    # marker whose directory is gone (vacuum crashed between dir and
+    # marker delete) must never be re-used by a future publish, or that
+    # publish would appear committed the instant its directory turns
+    # visible, before the data is fully written
+    return sorted(committed & dirs if committed_only else committed | dirs)
 
 
 def current_version(spark: SparkSession, root: str) -> int | None:

@@ -199,6 +199,17 @@ def test_versioned_publish_snapshot_and_vacuum(spark):
         leftover = {p for p in os.listdir(root) if p.startswith("v=")}
         assert leftover == {"v=4"}
 
+        # STALE MARKER (vacuum crashed between deleting a victim's dir
+        # and its marker): the number must never be re-used — a publish
+        # reusing it would look committed while its data is still being
+        # written.  Publish skips past it, and the next vacuum sweeps it.
+        open(os.path.join(root, "_commit_v9"), "w").close()
+        assert V.current_version(spark, root) == 4     # marker w/o dir ≠ live
+        v10 = V.publish_version(spark.range(3).selectExpr("id AS k"), root)
+        assert v10 == 10
+        assert sorted(V.vacuum(spark, root, keep=1)) == [4, 9]
+        assert not os.path.exists(os.path.join(root, "_commit_v9"))
+
 
 def test_compact_current_versioned(spark):
     """Atomic compaction path: the live snapshot is rewritten as a new
