@@ -95,6 +95,12 @@ def main() -> None:
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
+        # contamination-robust companion total: sum of per-query MINIMA
+        # (timeit-style best-observed).  When external box load covers a
+        # whole sampling window, medians inflate together while minima
+        # stay near the true cost — value >> value_min flags a
+        # contaminated run rather than a plan regression.
+        "value_min": round(sum(floors.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
