@@ -123,15 +123,21 @@ def lavg(col: Column, scale: int = 2) -> Column:
 #     sum(t) = sum(hi)·1e6 + sum(lo)
 #
 # Both halves stay primitive longs inside codegen (two fast-lane sums
-# instead of one); the ceiling becomes min(2^63/1e6 rows,
+# instead of one); the NON-OVERFLOW ceiling becomes min(2^63/1e6 rows,
 # 2^63·1e6/max_t) per group ≈ 9.2e12 rows for the scale-6 term —
 # ~15× the global-group row count of a 100 TB corpus, and 37,000×
-# the unsplit ceiling.  The final recombination is two long→double
-# conversions + one FMA-free multiply-add executed identically on
-# both engines from identical exact integers → bit-identical output,
-# same guarantee as lsum.  Per-row requirement: t < 2^53 so the
-# (t−lo)/1e6 double division is exact — any fixed-point money product
-# satisfies this by orders of magnitude.
+# the unsplit ceiling (which ABORTS under ANSI / wraps without).
+# Semantic exactness is a separate, smaller bound and is the SAME as
+# lsum's: the result is exact while the true total < 2^53 scaled
+# units; past that the recombination — two long→double conversions +
+# one multiply-add executed identically on both engines from
+# identical exact integers — is still deterministic and bit-identical
+# cross-engine (hashes always match), but carries double rounding of
+# ~1 ulp, so at extreme totals the displayed cents can differ from
+# the infinitely-precise sum by a cent.  Overflow-safety, not
+# extended exactness, is what the split buys.  Per-row requirement:
+# t < 2^53 so the (t−lo)/1e6 double division is exact — any
+# fixed-point money product satisfies this by orders of magnitude.
 # ---------------------------------------------------------------------------
 
 _WIDE_SPLIT = 1_000_000

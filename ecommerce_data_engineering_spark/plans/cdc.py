@@ -3,8 +3,9 @@
 The two snapshots are derived deterministically from the ``customer``
 fixture so DuckDB can rebuild both sides and the full classification
 is hash-verified: v2 deletes every 100th key, rewrites the segment of
-every 7th, shifts the balance of every 13th, and inserts a shifted-key
-row for every 97th — exercising all three change types plus the
+every 7th, shifts the balance of every 13th, and inserts a negated-key
+row for every 97th (custkeys are positive at every sf, so a negative
+insert key can never collide with a real one) — exercising all three change types plus the
 dropped "unchanged" majority in one query.
 
 Reference parity: the reference has no CDC (its staging_dag.py:30-33
@@ -33,7 +34,7 @@ WITH v1 AS (
               ELSE c_acctbal END AS c_acctbal
   FROM customer WHERE c_custkey % 100 <> 0
   UNION ALL
-  SELECT c_custkey + 1000000, 'NEW', 0.0
+  SELECT -c_custkey, 'NEW', 0.0
   FROM customer WHERE c_custkey % 97 = 0
 ), j AS (
   SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS c_custkey,
@@ -72,7 +73,7 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                .otherwise(F.col("c_acctbal")).alias("c_acctbal"))
           .unionByName(
               base.filter(F.col("c_custkey") % 97 == 0)
-              .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+              .select((-F.col("c_custkey")).alias("c_custkey"),
                       F.lit("NEW").alias("c_mktsegment"),
                       F.lit(0.0).alias("c_acctbal"))))
     diff = snapshot_diff(v1, v2, ["c_custkey"],
@@ -100,7 +101,7 @@ WITH v2 AS (
            AS bal_c
   FROM customer WHERE c_custkey % 100 <> 0
   UNION ALL
-  SELECT c_custkey + 1000000, 'NEW', 0
+  SELECT -c_custkey, 'NEW', 0
   FROM customer WHERE c_custkey % 97 = 0
 )
 SELECT c_mktsegment AS segment,
@@ -137,7 +138,7 @@ def cdc_incremental_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(F.lit(0))).alias("bal_c"))
           .unionByName(
               base.filter(F.col("c_custkey") % 97 == 0)
-              .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+              .select((-F.col("c_custkey")).alias("c_custkey"),
                       F.lit("NEW").alias("c_mktsegment"),
                       F.lit(0).cast("bigint").alias("bal_c"))))
     prev = (v1.groupBy("c_mktsegment")

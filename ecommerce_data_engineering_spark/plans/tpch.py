@@ -69,9 +69,11 @@ def sum_disc_price():
     """Exact Σ extendedprice·(1−discount) in scaled-long space.
 
     hi/lo split sum (rounding.lsum_wide): the scale-4 product term is
-    ~1e9 per row, so a single BIGINT sum would silently wrap at ~9e9
-    rows per group — under the 100 TB target's per-nation group sizes.
-    The split form is exact to ~9e12 rows per group."""
+    ~1e9 per row, so a single BIGINT sum aborts (ANSI) or wraps at
+    ~9e9 rows per group — under the 100 TB target's per-nation group
+    sizes.  The split form cannot overflow until ~9e12 rows per group;
+    exactness holds to 2^53 scaled units, deterministic (bit-identical
+    cross-engine) beyond."""
     return lsum_wide(_ep_c() * (F.lit(100) - _disc_p()), 4)
 
 

@@ -201,7 +201,7 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "order_value_percentiles_approx",
     oracle=None,   # sketch is approximate by design → rows-only;
-    # test_windows.py asserts the rank-error guarantee vs the exact row
+    # test_properties.py asserts the rank-error guarantee vs exact ranks
     covers=("EXT-percentile", "EXT-approx"),
 )
 def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) \

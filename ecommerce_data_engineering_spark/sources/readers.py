@@ -110,8 +110,9 @@ def read_csv_quarantine(
     cache the scan, which is a non-starter at ingest scale.  Parsing
     the line as a struct column has no such restriction.  Limitations
     of the text path: records must be single-line (no embedded
-    newlines), and with ``header=True`` any data line byte-identical
-    to the header line is dropped as a header.
+    newlines), and with ``header=True`` any data line that parses to
+    exactly the column names (case/space/quote-insensitively) is
+    dropped as a header.
     """
     from pyspark.sql import functions as F
 
@@ -119,10 +120,23 @@ def read_csv_quarantine(
                         + [T.StructField(corrupt_col, T.StringType())])
     ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                     for f in full.fields)
-    raw = spark.read.text(path)
+    # blank lines: spark.read.csv skips them; the text source emits
+    # them as rows and from_csv('') parses to an all-null struct with a
+    # NULL corrupt column — which would silently inject all-null rows
+    # into the GOOD frame.  Drop them before parsing.
+    raw = spark.read.text(path).filter(F.trim(F.col("value")) != "")
     if header:
-        expected = ",".join(f.name for f in schema.fields)
-        raw = raw.filter(F.col("value") != expected)
+        # header detection tolerant of spacing, case, quoting, and a
+        # BOM: split the line and compare the normalized cells to the
+        # declared column names (column ORDER must match the schema —
+        # a different order is a genuinely different file contract and
+        # should surface as quarantined rows, not silent reordering)
+        names = F.array(*[F.lit(f.name.lower()) for f in schema.fields])
+        cells = F.transform(
+            F.split(F.col("value"), ","),
+            lambda x: F.lower(F.trim(
+                F.regexp_replace(x, '["\\ufeff]', ""))))
+        raw = raw.filter(~(cells == names))
     parsed = raw.select(
         F.from_csv(F.col("value"), ddl,
                    {"mode": "PERMISSIVE",
@@ -145,7 +159,9 @@ def read_json_quarantine(
 
     full = T.StructType(list(schema.fields)
                         + [T.StructField(corrupt_col, T.StringType())])
-    parsed = spark.read.text(path).select(
+    # blank lines: same all-null-row hazard as the CSV path
+    parsed = spark.read.text(path) \
+        .filter(F.trim(F.col("value")) != "").select(
         F.from_json(F.col("value"), full,
                     {"mode": "PERMISSIVE",
                      "columnNameOfCorruptRecord": corrupt_col}).alias("r"))

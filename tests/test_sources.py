@@ -274,8 +274,10 @@ def test_csv_quarantine_splits_good_and_bad(spark):
         with open(path, "w") as f:
             f.write("id,qty\n")
             f.write("1,10\n")
-            f.write("2,notanint\n")
+            f.write("\n")                  # interior blank line: skipped,
+            f.write("2,notanint\n")        # NOT an all-null good row
             f.write("3,30\n")
+            f.write("\n")                  # trailing blank line
         schema = T.StructType([
             T.StructField("id", T.LongType()),
             T.StructField("qty", T.LongType()),
@@ -293,6 +295,17 @@ def test_csv_quarantine_splits_good_and_bad(spark):
         assert bad_rows[0]._corrupt_record == "2,notanint"
         assert bad_rows[0].id == 2          # parsing kept what it could
 
+        # real-world header variants (spacing, case, quotes) are still
+        # recognized as headers — not leaked into the quarantine as one
+        # bogus dead-letter row per file
+        path2 = os.path.join(d, "feed2.csv")
+        with open(path2, "w") as f:
+            f.write('"Id", QTY\n')
+            f.write("4,40\n")
+        good2, bad2 = read_csv_quarantine(spark, path2, schema)
+        assert bad2.count() == 0
+        assert [(r.id, r.qty) for r in good2.collect()] == [(4, 40)]
+
 
 def test_json_quarantine_splits_good_and_bad(spark):
     from ecommerce_data_engineering_spark.sources import read_json_quarantine
@@ -301,6 +314,7 @@ def test_json_quarantine_splits_good_and_bad(spark):
         path = os.path.join(d, "feed.jsonl")
         with open(path, "w") as f:
             f.write('{"id": 1, "v": 1.5}\n')
+            f.write('\n')                   # blank line: skipped
             f.write('{"id": 2, "v": BROKEN}\n')
             f.write('{"id": 3, "v": 3.0}\n')
         schema = T.StructType([
