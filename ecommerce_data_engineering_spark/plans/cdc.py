@@ -5,8 +5,8 @@ fixture so DuckDB can rebuild both sides and the full classification
 is hash-verified: v2 deletes every 100th key, rewrites the segment of
 every 7th, shifts the balance of every 13th, and inserts a negated-key
 row for every 97th (custkeys are positive at every sf, so a negative
-insert key can never collide with a real one) — exercising all three change types plus the
-dropped "unchanged" majority in one query.
+insert key can never collide with a real one) — exercising all three
+change types plus the dropped "unchanged" majority in one query.
 
 Reference parity: the reference has no CDC (its staging_dag.py:30-33
 re-ships whole tables per refresh); this is an engine extension that
