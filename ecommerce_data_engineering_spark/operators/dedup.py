@@ -115,6 +115,49 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
              .select("id_a", "id_b").distinct())
 
 
+def prefix_filter_candidates(shingles: DataFrame, id_col: str,
+                             threshold: float) -> DataFrame:
+    """EXACT set-similarity candidates via prefix filtering (the
+    SSJoin/PPJoin family: Chaudhuri et al. ICDE'06, Bayardo et al.
+    WWW'07): provably no pair with Jaccard ≥ ``threshold`` is missed,
+    at a fraction of the exhaustive inverted-index join's candidate
+    volume.
+
+    Under any GLOBAL total order of shingles, two sets with overlap
+    ≥ α must share an element within their first ``|X| − α + 1``
+    shingles; Jaccard ≥ t implies overlap ≥ ⌈t·|X|⌉ for both sets, so
+    joining only each document's ``|X| − ⌈t·|X|⌉ + 1`` first shingles
+    finds every qualifying pair.  The order used is (document
+    frequency asc, shingle asc): rare shingles come first, so the hot
+    shingles that make the exhaustive join quadratic are pushed out of
+    every long document's prefix and generate no candidates at all.
+
+    Scale shape: one groupBy for document frequency, one
+    co-partitioned join to attach it, one per-document window for the
+    prefix rank (bounded by shingle count per doc, never corpus-wide),
+    then the inverted-index self-join over the (much smaller) prefix
+    table.  Exactness is enforced downstream: callers verify with
+    :func:`jaccard_verify`, so the guarantee is end-to-end identical
+    results to the exhaustive join — pinned by using the exhaustive
+    SQL as the driver oracle for the prefix-filtered query.
+    """
+    dfreq = shingles.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    ranked = (shingles.join(dfreq, "shingle")
+              .withColumn("_rnk", F.row_number().over(w))
+              .withColumn("_sz", F.count(F.lit(1))
+                          .over(Window.partitionBy(id_col))))
+    prefix = ranked.filter(
+        F.col("_rnk") <= F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    return (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+
+
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame, id_col: str,
                    threshold: float) -> DataFrame:
     """Exact Jaccard on shingle sets for candidate pairs only.

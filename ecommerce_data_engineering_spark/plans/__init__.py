@@ -125,6 +125,7 @@ _PRIORITY = [
     "unpivot_monthly_metrics",
     "doc_stats",
     "multimodal_manifest",
+    "dedup_jaccard_prefix",
     "dedup_simhash_fingerprints",
     "corpus_dedup_stats",
     "corpus_greedy_packing",

@@ -149,9 +149,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# the semantics of "all pairs with Jaccard >= t" spelled exhaustively —
+# shared by the brute-force query AND (as the oracle) by the
+# prefix-filtered one, whose whole guarantee is returning the
+# identical result with far fewer candidates
+_JACCARD_ALL_PAIRS_SQL = f"""
     WITH {_SHINGLES_CTE},
     sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
@@ -166,7 +168,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes na ON na.doc_id = i.id_a
     JOIN sizes nb ON nb.doc_id = i.id_b
     WHERE floor((i.n_common / (na.n + nb.n - i.n_common)) * 10000 + 0.5) / 10000 >= {JACCARD_T}
-    """,
+    """
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ALL_PAIRS_SQL,
     covers=("EXT-dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,6 +191,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n_common")))
     return D.jaccard_verify(
         inter.select("id_a", "id_b"), sh, "doc_id", JACCARD_T)
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=_JACCARD_ALL_PAIRS_SQL,   # EXHAUSTIVE semantics on purpose:
+    # prefix filtering must return the identical pair set, so the
+    # driver hash IS the proof that no qualifying pair was pruned
+    covers=("EXT-dedup",),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard via PREFIX FILTERING
+    (:func:`..operators.dedup.prefix_filter_candidates`, the
+    SSJoin/PPJoin family) — the exact tier that scales: same result as
+    the exhaustive inverted-index join (the oracle is the exhaustive
+    SQL), but the self-join runs only over each document's rarest
+    ``|X| − ⌈t·|X|⌉ + 1`` shingles, so corpus-hot shingles generate no
+    candidates.  Candidate-volume reduction vs exhaustive is asserted
+    in tests/test_dedup_prefix.py."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "text", "doc_id")
+    cand = D.prefix_filter_candidates(sh, "doc_id", JACCARD_T)
+    return D.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
 
 
 def _simhash_fp_cte() -> str:

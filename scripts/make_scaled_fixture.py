@@ -1,0 +1,77 @@
+"""Synthesize a larger, referentially-consistent fixture by unioning
+key-shifted copies of an existing one — scale-correctness evidence
+beyond the largest driver-generated fixture.
+
+Every surrogate/foreign key in copy k is shifted by k·OFFSET, so joins
+resolve within a copy exactly as in the original (region/nation are
+genuine shared dims and stay single-copy: nationkeys are stable).  The
+point is NOT realism — it is running the FULL Spark-vs-DuckDB
+oracle-diff suite on data several times larger than sf0.1 to prove no
+query has scale-dependent tie/cap/overflow divergence:
+
+    python scripts/make_scaled_fixture.py /tmp/sf_synth 4
+    SPARK_GRAFT_TEST_SF_DIR=/tmp/sf_synth \
+        python -m pytest tests/test_oracle_diff.py -q
+
+Duplicated text/embedding payloads are a feature for the dedup tier:
+every document gains k exact copies, so exact/near-dup operators see a
+denser duplicate regime than the generator ever produces.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OFFSET = 10_000_000          # beyond any fixture key at any driver sf
+
+# table -> columns shifted by k*OFFSET in copy k (FK-consistent)
+KEYS = {
+    "region": [],            # shared dims: single copy, stable keys
+    "nation": [],
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_synth"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+
+    import duckdb               # plain columnar copy — no Spark needed
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for table, keys in KEYS.items():
+        path = f"{src}/{table}.parquet"
+        if not keys:
+            con.execute(f"COPY (SELECT * FROM read_parquet('{path}')) TO "
+                        f"'{out}/{table}.parquet' (FORMAT PARQUET)")
+            continue
+        sels = []
+        for k in range(copies):
+            cols = ", ".join(
+                f"({c} + {k * OFFSET}) AS {c}" if c in keys else c
+                for c in [r[0] for r in con.execute(
+                    f"DESCRIBE SELECT * FROM read_parquet('{path}')"
+                ).fetchall()])
+            sels.append(f"SELECT {cols} FROM read_parquet('{path}')")
+        con.execute(f"COPY ({' UNION ALL '.join(sels)}) TO "
+                    f"'{out}/{table}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows ({copies} copies)")
+
+
+if __name__ == "__main__":
+    main()
