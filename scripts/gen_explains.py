@@ -13,7 +13,8 @@ KEY = ["pricing_summary", "revenue_by_nation", "top_products",
        "corpus_deterministic_sample", "corpus_sequence_packing",
        "corpus_curation_funnel", "corpus_decontaminate",
        "corpus_mix_rebalance", "corpus_chunk_dedup",
-       "snapshot_cdc_diff"]
+       "snapshot_cdc_diff", "cdc_incremental_metrics",
+       "dedup_jaccard_prefix"]
 
 # Plan-shape commentary kept alongside the regenerated plans (the
 # script owns these so re-running never loses them).
@@ -60,8 +61,25 @@ NOTES = {
         "Document text never shuffles: two narrow Exchanges only — "
         "groupBy(chunk md5) for global count + first sighting, and the "
         "dropped-position regroup by doc id; reassembly filters the "
-        "chunk array in place on the original row.  Pinned in "
+        "chunk array in place on the original row.  The staged "
+        "word-split+chunk projection is persisted (InMemoryRelation "
+        "below), so the dominant per-row cost runs once for its three "
+        "consumers instead of three times.  Pinned in "
         "tests/test_physical.py::test_chunk_dedup_shuffles_positions_not_text."),
+    "cdc_incremental_metrics": (
+        "Incremental aggregate maintenance: the refresh shuffle is over "
+        "|groups| + 2·|changes| rows (the prev-aggregate union the "
+        "diff's debit/credit deltas) — the fact table appears only in "
+        "the diff's one full-outer join, never in the metric fold.  "
+        "Measures stay scaled-long through the +/− algebra."),
+    "dedup_jaccard_prefix": (
+        "Exact set-similarity via prefix filtering (SSJoin/PPJoin): "
+        "document frequency join + per-document window rank, then the "
+        "inverted-index self-join runs ONLY over each document's "
+        "rarest |X|−⌈t·|X|⌉+1 shingles — corpus-hot shingles never "
+        "generate candidates.  Result provably equals the exhaustive "
+        "join; the driver oracle is the exhaustive SQL, so the hash "
+        "match is the no-missed-pairs proof."),
     "snapshot_cdc_diff": (
         "Keyed CDC is ONE full-outer SortMergeJoin: both snapshots "
         "hash-partition by the key, payload columns travel as a single "
