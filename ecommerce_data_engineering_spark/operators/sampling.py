@@ -123,6 +123,13 @@ def sql_bucket(id_expr: str, seed: int = 0) -> str:
             f"CAST({id_expr} AS VARCHAR)), 1, {_HEX_WIDTH})")
 
 
+def _sql_str(v: str) -> str:
+    """Single-quoted SQL string literal with embedded quotes doubled —
+    stratum/label values are caller data and must not be able to break
+    (or redirect) the oracle SQL the twins emit."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def sql_sample_predicate(id_expr: str, fraction: float, seed: int = 0) -> str:
     thr = threshold_hex(fraction)
     if thr is None:
@@ -134,7 +141,7 @@ def sql_stratified_predicate(id_expr: str, stratum_expr: str,
                              fractions: dict[str, float],
                              default: float = 1.0, seed: int = 0) -> str:
     whens = " ".join(
-        f"WHEN {stratum_expr} = '{s}' THEN '{threshold_hex(f) or 'g'}'"
+        f"WHEN {stratum_expr} = {_sql_str(s)} THEN '{threshold_hex(f) or 'g'}'"
         for s, f in fractions.items())
     case = (f"CASE {whens} ELSE '{threshold_hex(default) or 'g'}' END"
             if whens else f"'{threshold_hex(default) or 'g'}'")
@@ -145,7 +152,7 @@ def sql_split_case(id_expr: str, splits: dict[str, float],
                    seed: int = 0) -> str:
     labels = list(splits)
     if len(labels) == 1:
-        return f"'{labels[-1]}'"
+        return _sql_str(labels[-1])
     parts, cum = [], 0.0
     for label in labels[:-1]:
         cum += splits[label]
@@ -156,8 +163,8 @@ def sql_split_case(id_expr: str, splits: dict[str, float],
                 f"label {label!r}; fractions before the last label must "
                 f"sum to < 1")
         parts.append(f"WHEN {sql_bucket(id_expr, seed)} < "
-                     f"'{thr}' THEN '{label}'")
-    return f"CASE {' '.join(parts)} ELSE '{labels[-1]}' END"
+                     f"'{thr}' THEN {_sql_str(label)}")
+    return f"CASE {' '.join(parts)} ELSE {_sql_str(labels[-1])} END"
 
 
 def epoch_factor_columns(id_col: Column | str, stratum_col: Column | str,
@@ -187,7 +194,13 @@ def epoch_factor_columns(id_col: Column | str, stratum_col: Column | str,
     dbase, dthr = _epoch_base_and_threshold(default)
     base_expr = F.lit(dbase) if base_expr is None else base_expr.otherwise(F.lit(dbase))
     frac_expr = F.lit(dthr) if frac_expr is None else frac_expr.otherwise(F.lit(dthr))
-    extra = (hash_bucket_hex(id_col, seed) < frac_expr).cast("int")
+    # NULL id: the hash comparison is NULL — coalesce to 0 extra copies
+    # so the row keeps its base count, matching the SQL twin's
+    # CASE WHEN NULL THEN 1 ELSE 0 END (which yields 0); without this
+    # Spark's base + NULL = NULL and epoch_upsample silently drops the
+    # row while DuckDB keeps it — a cross-engine divergence
+    extra = F.coalesce(
+        (hash_bucket_hex(id_col, seed) < frac_expr).cast("int"), F.lit(0))
     return (base_expr + extra).cast("int")
 
 
@@ -234,10 +247,10 @@ def sql_epoch_factor(id_expr: str, stratum_expr: str,
     one = _epoch_base_and_threshold
 
     base_whens = " ".join(
-        f"WHEN {stratum_expr} = '{s}' THEN {one(f)[0]}"
+        f"WHEN {stratum_expr} = {_sql_str(s)} THEN {one(f)[0]}"
         for s, f in factors.items())
     frac_whens = " ".join(
-        f"WHEN {stratum_expr} = '{s}' THEN '{one(f)[1]}'"
+        f"WHEN {stratum_expr} = {_sql_str(s)} THEN '{one(f)[1]}'"
         for s, f in factors.items())
     dbase, dthr = one(default)
     base = (f"CASE {base_whens} ELSE {dbase} END" if base_whens else f"{dbase}")

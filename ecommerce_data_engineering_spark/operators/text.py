@@ -38,7 +38,16 @@ def word_count(text: Column) -> Column:
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
-    """How many tokens are in the language's stopword list."""
+    """How many stopword units the text contains for ``lang``.
+
+    Latin languages count whole tokens from the word tokenizer; 'zh'
+    counts stopword CHARACTERS on the raw text, because CJK is
+    unsegmented and the ``[^a-z0-9]`` tokenizer deletes every CJK
+    character — a token-based zh count would be structurally zero
+    (dead code masquerading as support)."""
+    if lang == "zh":
+        cls = "[" + "".join(STOPWORDS["zh"]) + "]"
+        return F.length(text) - F.length(F.regexp_replace(text, cls, ""))
     words = _WORDS(text)
     arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(words, lambda x: F.array_contains(arr, x)))
@@ -49,12 +58,13 @@ def language_id(text: Column) -> Column:
 
     Ties break to the alphabetically-first language — a CASE chain
     (not a loop state machine) so the DuckDB oracle can mirror the
-    exact expression.
+    exact expression.  The guard is on max-hits only (not word count):
+    pure-CJK text has zero Latin tokens but positive zh hits and must
+    classify as 'zh', not 'und'.
     """
-    words = word_count(text)
     hits = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
     m = F.greatest(*hits.values())
-    chain = F.when((words <= 0) | (m <= 0), F.lit("und"))
+    chain = F.when(m <= 0, F.lit("und"))
     for lang in sorted(STOPWORDS):
         chain = chain.when(hits[lang] == m, F.lit(lang))
     return chain.otherwise(F.lit("und"))
@@ -137,7 +147,11 @@ def quality_score_pandas_udf():
         import math
 
         def one(t):
-            t = t or ""
+            if t is None:
+                # the Catalyst twin propagates NULL text to a NULL
+                # score; coercing to '' would score 0.3333 and change
+                # which rows survive a threshold filter
+                return None
             words = [w for w in word_re.split(t.lower()) if w]
             n = len(words)
             punct = len(punct_re.sub("", t)) / max(len(t), 1)
@@ -182,7 +196,6 @@ def gopher_quality(df: DataFrame, text_col: str, id_col: str,
     (and beneficial) to push all the way into the scan.  This frame is
     for when the per-rule diagnostics themselves are the output.
     """
-    from ..functions.rounding import pround
 
     base = df.select(F.col(id_col), _WORDS(F.col(text_col)).alias("_w"))
     n_words = F.size(F.col("_w"))

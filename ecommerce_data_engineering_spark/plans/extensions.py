@@ -557,7 +557,12 @@ _SW_SQL = {
 
 
 def _lang_id_oracle() -> str:
+    # zh mirrors operators/text.stopword_hits: stopword CHARACTERS on
+    # the raw text (CJK is unsegmented; the Latin tokenizer deletes it)
+    zh_cls = "[的是在了我]"
     hits = ",\n             ".join(
+        (f"length(text) - length(regexp_replace(text, '{zh_cls}', '', 'g'))"
+         f" AS h_{l}") if l == "zh" else
         f"len(list_filter(w, x -> list_contains({_SW_SQL[l]}, x))) AS h_{l}"
         for l in _LANGS)
     m = "greatest(" + ", ".join(f"h_{l}" for l in _LANGS) + ")"
@@ -565,17 +570,17 @@ def _lang_id_oracle() -> str:
         f"WHEN h_{l} = {m} THEN '{l}'" for l in _LANGS)
     return f"""
     WITH words AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, text,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                          x -> x <> '') AS w
       FROM documents
     ), hits AS (
-      SELECT doc_id, lang, len(w) AS n_words,
+      SELECT doc_id, lang,
              {hits}
       FROM words
     )
     SELECT doc_id, lang,
-           CASE WHEN n_words <= 0 OR {m} <= 0 THEN 'und'
+           CASE WHEN {m} <= 0 THEN 'und'
              {chain}
              ELSE 'und' END AS predicted_lang
     FROM hits

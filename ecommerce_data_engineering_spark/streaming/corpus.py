@@ -5,8 +5,17 @@ Micro-batches of documents are exact-deduplicated against EVERYTHING
 admitted so far (a versioned content-key registry), quality-gated with
 the single-expression Gopher verdict (operators/text.gopher_gate), and
 landed in per-epoch output directories.  The composition mirrors the
-batch ``corpus_curation_funnel`` stages, so streaming-equals-batch is
-testable (tests/test_streaming.py).
+batch ``corpus_curation_funnel`` stages.
+
+Keeper semantics under streaming are FIRST-ARRIVAL-WINS: within a
+batch the keeper is the min doc_id, but across batches whoever arrived
+first holds the content key forever — a smaller-id duplicate arriving
+in a later micro-batch is dropped, where the batch funnel (global min
+doc_id over the full corpus) would have kept it instead.  That is the
+inherent streaming contract (state cannot be revised retroactively);
+streaming-equals-batch therefore holds exactly when arrival order is
+consistent with doc_id order, which the equivalence test arranges via
+file mtimes (tests/test_streaming.py).
 
 Exactly-once shape:
 - admitted docs write to ``out_path/epoch=N`` with overwrite — a batch

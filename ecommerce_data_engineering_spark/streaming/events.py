@@ -17,18 +17,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.rounding import dsum, pround
 from .source import events_stream
 
 
 def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming DataFrame: hourly tumbling counts/sums per event_type."""
+    """Streaming DataFrame: hourly tumbling counts/sums per event_type.
+
+    total_value uses the SAME exact-decimal sum + portable rounding as
+    the batch twin (plans/events.events_hourly_rollup) — a raw double
+    sum is order-dependent across micro-batch partials and Spark's
+    ``round`` differs from ``pround`` on halfway values, either of
+    which would break the streamed-equals-batch contract on a window
+    whose value-sum lands on a .xx5 boundary."""
     src = events_stream(spark, sf_dir)
     return (
         src.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            pround(dsum(F.col("value"), scale=4), 2).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -57,7 +65,14 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # awaitTermination(timeout) returns False on timeout instead of
+        # raising; falling through would return a partially-populated
+        # memory table while the query keeps writing (same guard as
+        # corpus.py / incremental.py)
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not finish within {timeout_s}s")
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {name}")
 

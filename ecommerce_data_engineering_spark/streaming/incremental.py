@@ -14,7 +14,6 @@ the operator graph is identical.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
 
 from ..operators.upsert import keyed_upsert
 from ..schemas import FIXTURES

@@ -14,6 +14,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..schemas import FIXTURES
 
+# (session id, dir, glob) -> sniffed ts dtype; the footer read costs a
+# listing + footer fetch on the driver, and four stream builders all
+# route through here — memoize so it really is once per (session, path)
+# as the module docstring promises.  Keyed by id(spark) so a restarted
+# session re-sniffs (files may have been regenerated between sessions).
+_TS_DTYPE_CACHE: dict[tuple[int, str, str], str | None] = {}
+
 
 def stream_events_dir(spark: SparkSession, dir_path: str,
                       glob: str = "*.parquet") -> DataFrame:
@@ -22,8 +29,12 @@ def stream_events_dir(spark: SparkSession, dir_path: str,
     TIMESTAMP whatever the files stored — the footer sniff and both
     schema branches live here so every consumer (and test) follows the
     fixture's actual physical type instead of hardcoding one."""
-    batch_ts = dict(spark.read.option("pathGlobFilter", glob)
-                    .parquet(dir_path).dtypes).get("ts")
+    key = (id(spark), dir_path, glob)
+    if key not in _TS_DTYPE_CACHE:
+        _TS_DTYPE_CACHE[key] = dict(
+            spark.read.option("pathGlobFilter", glob)
+            .parquet(dir_path).dtypes).get("ts")
+    batch_ts = _TS_DTYPE_CACHE[key]
     if batch_ts == "bigint":  # TIMESTAMP(NANOS) via legacy nanosAsLong
         schema = T.StructType([
             f if f.name != "ts" else T.StructField("ts", T.LongType())

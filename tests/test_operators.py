@@ -721,3 +721,40 @@ def test_greedy_bfd_packing_invariants(spark):
     with _pytest.raises(Exception, match="NULL or negative"):
         pack_greedy_bfd(bad, "doc_id", "n_tokens", budget,
                         num_shards=2).collect()
+
+
+def test_language_id_cjk_and_null(spark):
+    """zh is detected by stopword CHARACTERS on the raw text (the Latin
+    tokenizer deletes CJK, so a token-based count would be dead code);
+    Latin langs still win on token hits; NULL/garbage → 'und'."""
+    from ecommerce_data_engineering_spark.operators.text import language_id
+
+    rows = [
+        (1, "的是在了我的是在了我"),               # pure zh stopwords
+        (2, "the cat and the dog of a town"),        # en
+        (3, "el la de que y el la"),                 # es
+        (4, "zzz qqq xxx"),                          # no hits -> und
+        (5, None),                                   # NULL -> und
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.lang for r in
+           df.select("id", language_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "zh", 2: "en", 3: "es", 4: "und", 5: "und"}
+
+
+def test_sampling_sql_twins_escape_quotes():
+    """Stratum/label values containing quotes must emit valid SQL."""
+    import duckdb
+
+    from ecommerce_data_engineering_spark.operators.sampling import (
+        sql_epoch_factor, sql_split_case, sql_stratified_predicate)
+
+    pred = sql_stratified_predicate("id", "src", {"o'reilly": 0.5})
+    case = sql_split_case("id", {"tr'ain": 0.5, "te'st": 0.5})
+    fac = sql_epoch_factor("id", "src", {"o'reilly": 2.5})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 1 AS id, 'o''reilly' AS src")
+    assert con.execute(f"SELECT {pred} FROM t").fetchone() is not None
+    assert con.execute(f"SELECT {case} FROM t").fetchone()[0] in (
+        "tr'ain", "te'st")
+    assert con.execute(f"SELECT {fac} FROM t").fetchone()[0] in (2, 3)
