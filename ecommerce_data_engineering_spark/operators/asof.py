@@ -54,7 +54,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
 
     l_side = (left.withColumn("__tag", F.lit(1))
               .withColumn("__payload", F.lit(None).cast(payload_type)))
-    r_side = (right.select(by, on, payload_expr.alias("__payload"))
+    # ASOF semantics for NULLs (pandas merge_asof / DuckDB ASOF): a
+    # right row with a NULL time can never satisfy ts <= left.ts, and a
+    # NULL equi-key matches nothing.  Without this filter Spark's
+    # NULLS-FIRST ordering would attach NULL-time rows as the
+    # "earliest" payload, and Window.partitionBy would group NULL keys
+    # together into phantom matches.  (NULL-key/NULL-time LEFT rows
+    # keep NULL payloads naturally once these right rows are gone.)
+    r_side = (right.filter(F.col(on).isNotNull() & F.col(by).isNotNull())
+              .select(by, on, payload_expr.alias("__payload"))
               .withColumn("__tag", F.lit(0)))
     for c in left.columns:
         if c not in (by, on):

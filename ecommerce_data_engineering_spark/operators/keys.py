@@ -41,7 +41,13 @@ def surrogate_mapping(keys: DataFrame, natural_key: str, surrogate: str,
         return distinct.withColumn(surrogate, F.row_number().over(w))
 
     prior_map = prior.select(natural_key, surrogate).distinct()
-    new = distinct.join(prior_map.select(natural_key), natural_key, "left_anti")
+    # null-safe anti join: a NULL natural key (dirty upstream) must be
+    # durable like any other — a plain left_anti never matches NULL
+    # against NULL, so NULL would be re-classified "new" every run,
+    # minting a fresh surrogate each time and growing the mapping
+    p = prior_map.select(F.col(natural_key).alias("__pk"))
+    new = (distinct.join(
+        p, F.col(natural_key).eqNullSafe(F.col("__pk")), "left_anti"))
     prior_max = prior_map.agg(
         F.coalesce(F.max(surrogate), F.lit(0)).alias("__maxk"))
     assigned = (

@@ -47,6 +47,12 @@ def scd2_merge(dim: DataFrame, staging: DataFrame, natural_key: str,
     columns.  A staging frame missing attributes fails fast here with
     the missing names rather than deep in the union.
     """
+    if not tracked:
+        # reduce() over the change predicates would raise a cryptic
+        # "reduce of empty iterable" deep inside; fail at the boundary
+        raise ValueError("scd2_merge: tracked must name at least one "
+                         "attribute column (an SCD2 dim with nothing "
+                         "tracked is a plain overwrite — use keyed_upsert)")
     as_of = F.lit(as_of_date).cast("date")
     dim_cols = dim.columns
     attr_cols = [c for c in dim_cols if c not in (effective_col, expiry_col, current_col)]
@@ -56,8 +62,13 @@ def scd2_merge(dim: DataFrame, staging: DataFrame, natural_key: str,
             "scd2_merge: staging must carry every dim attribute column "
             f"(tracked AND untracked); missing {missing}")
 
-    current = dim.filter(F.col(current_col))
-    history = dim.filter(~F.col(current_col))
+    # NULL is_current (dirty load) must not vanish: filter(col) drops it
+    # from current AND filter(~col) drops it from history under
+    # three-valued logic — coalesce pins NULL to "history", preserving
+    # the row while keeping it out of the merge's comparison set
+    is_cur = F.coalesce(F.col(current_col), F.lit(False))
+    current = dim.filter(is_cur)
+    history = dim.filter(~is_cur)
 
     stg = staging.select(natural_key, *tracked).alias("s")
     cur = current.alias("c")

@@ -21,6 +21,14 @@ from pyspark.sql import DataFrame, functions as F
 def null_safe_left_join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     """Left join that never shuffles NULL keys: matchable rows join,
     NULL-key rows bypass with right columns NULLed."""
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        # a shared non-key name would make bypass's withColumn OVERWRITE
+        # left's column (branch column counts diverge, unionByName
+        # throws later with an opaque error) — fail with the cause
+        raise ValueError(
+            f"null_safe_left_join: non-key columns {sorted(overlap)} "
+            f"exist on both sides; rename or drop before joining")
     matchable = left.filter(F.col(key).isNotNull()).join(right, key, "left")
     bypass = left.filter(F.col(key).isNull())
     for c in right.columns:
@@ -33,13 +41,29 @@ def salted_join(left: DataFrame, right: DataFrame, key: str, n_salts: int = 8,
                 how: str = "inner") -> DataFrame:
     """Equi-join with the left key salted across ``n_salts`` reducers.
 
-    Salt is derived from a hash of the whole left row key + a stable
-    row fingerprint (xxhash64 of the key alone would re-collide, so we
-    spread by monotonically varying content via ``spark_partition_id``-
-    free arithmetic on the key hash).  The right side is exploded once
-    per salt — right must be the smaller input.
+    Salt is xxhash64 over EVERY left column — deterministic per row
+    content, which matters: a nondeterministic salt (rand,
+    monotonically_increasing_id) feeding a shuffle key is the classic
+    lost/duplicated-rows-on-stage-retry hazard, because the recomputed
+    map task salts rows differently from the copies reducers already
+    fetched.  Tradeoff: byte-identical duplicate left rows share a
+    salt (they cannot be told apart deterministically), so a hot key
+    whose skew is PURE row duplication still lands on one reducer —
+    spread those upstream with a real discriminator column.  The right
+    side is exploded once per salt — right must be the smaller input.
+
+    Only inner/left-flavored joins are supported: the right side is
+    replicated n_salts times, so any flavor that emits unmatched RIGHT
+    rows (right/full outer) would emit them once per replica.
     """
-    salt = (F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()),
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated "
+            f"right side would emit unmatched right rows once per salt; "
+            f"use one of {sorted(allowed)}")
+    salt = (F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
                    F.lit(n_salts))).cast("int")
     l = left.withColumn("__salt", salt)
     r = right.withColumn(

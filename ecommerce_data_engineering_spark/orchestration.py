@@ -72,7 +72,12 @@ class Dag:
              upstream: Iterable[str | Task] = (), **kw: Any) -> Task:
         if name in self._tasks:
             raise ValueError(f"{self.dag_id}: duplicate task {name!r}")
-        ups = tuple(t.name if isinstance(t, Task) else t for t in upstream)
+        # dedupe while preserving order: a duplicate upstream entry
+        # would inflate the Kahn in-degree (len(upstream)) while the
+        # completion loop decrements once per task — a false "cycle
+        # detected" on an acyclic graph
+        ups = tuple(dict.fromkeys(
+            t.name if isinstance(t, Task) else t for t in upstream))
         for u in ups:
             if u not in self._tasks:
                 raise ValueError(f"{self.dag_id}: {name!r} depends on "
@@ -367,8 +372,18 @@ def pipeline_dag(spark, raw: Mapping[str, Any], as_of: str,
                    r["create_customer_acquisition_analysis"]),
            },
            upstream=("create_campaign_attribution",))
-    d.task("validate_analytics_data",
-           lambda r: all(v is not None
-                         for v in r["create_business_summary_views"].values()),
+    def _validate_analytics(r):
+        # raise, don't return False: a boolean result records SUCCESS
+        # and nothing fails the run — the Q7 contract the staging /
+        # warehouse validation tasks follow via QualityError
+        missing = [k for k, v in
+                   r["create_business_summary_views"].items() if v is None]
+        if missing:
+            from .quality import QualityError
+            raise QualityError(
+                f"analytics validation: views missing/None: {missing}")
+        return True
+
+    d.task("validate_analytics_data", _validate_analytics,
            upstream=("create_business_summary_views",))
     return d

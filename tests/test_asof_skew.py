@@ -98,3 +98,55 @@ def test_extract_features_real_path_raises(media):
         extract_features(media, real_extract=True).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError)
+
+
+def test_asof_join_null_time_and_null_key_rows_match_nothing(spark):
+    """ASOF NULL semantics (pandas merge_asof / DuckDB): a right row
+    with a NULL time can never satisfy ts <= left.ts (Spark's
+    NULLS-FIRST would otherwise attach it as the 'earliest' payload),
+    and NULL equi-keys match nothing on either side."""
+    from ecommerce_data_engineering_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), (None, 5)], "by string, ts int")
+    right = spark.createDataFrame(
+        [("k", None, 100), (None, 3, 200)], "by string, ts int, v int")
+    out = {(r.by, r.ts): r.v for r in
+           asof_join(left, right, on="ts", by="by").collect()}
+    assert out == {("k", 10): None, (None, 5): None}
+
+
+def test_salted_join_rejects_right_outer_flavors(spark):
+    from ecommerce_data_engineering_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame([(1, "a")], "k long, v string")
+    r = spark.createDataFrame([(1, "x")], "k long, w string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(l, r, "k", how=how)
+
+
+def test_null_safe_left_join_rejects_column_collision(spark):
+    from ecommerce_data_engineering_spark.operators.skew import (
+        null_safe_left_join)
+
+    l = spark.createDataFrame([(1, "a")], "k long, status string")
+    r = spark.createDataFrame([(1, "x")], "k long, status string")
+    with pytest.raises(ValueError, match="status"):
+        null_safe_left_join(l, r, "k")
+
+
+def test_surrogate_mapping_null_key_is_durable(spark):
+    """A NULL natural key gets ONE surrogate forever — a plain
+    left_anti would re-classify it 'new' every incremental run."""
+    from ecommerce_data_engineering_spark.operators.keys import (
+        surrogate_mapping)
+
+    run1 = spark.createDataFrame([("a",), (None,)], "nk string")
+    m1 = surrogate_mapping(run1, "nk", "sk")
+    run2 = spark.createDataFrame([("a",), (None,), ("b",)], "nk string")
+    m2 = surrogate_mapping(run2, "nk", "sk", prior=m1)
+    rows = {r.nk: r.sk for r in m2.collect()}
+    assert len(rows) == 3 and m2.count() == 3       # no duplicate NULL row
+    old = {r.nk: r.sk for r in m1.collect()}
+    assert rows[None] == old[None] and rows["a"] == old["a"]

@@ -270,3 +270,15 @@ def test_curation_dag_with_transient_failure_matches_direct_funnel(spark):
                       REGISTRY["corpus_curation_funnel"].fn(spark, sf)
                       .collect()))
     assert got == want and len(want) > 0
+
+
+def test_duplicate_upstream_entries_do_not_fake_a_cycle(spark):
+    """A duplicated upstream name inflated the Kahn in-degree while
+    completion decremented once per task — falsely reporting a cycle."""
+    from ecommerce_data_engineering_spark.orchestration import Dag
+
+    d = Dag("dup")
+    d.task("a", lambda r: 1)
+    d.task("b", lambda r: r["a"] + 1, upstream=("a", "a"))
+    runs = d.run()
+    assert runs["b"].result == 2

@@ -118,3 +118,35 @@ def test_staging_missing_attr_columns_fails_fast(spark):
     with pytest.raises(ValueError, match="missing \\['city'\\]"):
         scd2_merge(base_dim(spark), partial, natural_key="customer_id",
                    tracked=["segment"], as_of_date=AS_OF)
+
+
+def test_scd2_null_is_current_row_is_preserved_as_history(spark):
+    """A dim row with NULL is_current (dirty load) must survive the
+    merge: three-valued logic would drop it from BOTH the current and
+    history legs; the merge pins NULL to history instead."""
+    import datetime as dt
+
+    from ecommerce_data_engineering_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "A", dt.date(2024, 1, 1), dt.date(9999, 12, 31), True),
+         (2, "B", dt.date(2024, 1, 1), dt.date(9999, 12, 31), None)],
+        "id long, seg string, effective_date date, expiry_date date, "
+        "is_current boolean")
+    stg = spark.createDataFrame([(1, "A"), (2, "B")], "id long, seg string")
+    out = scd2_merge(dim, stg, "id", ["seg"], "2024-06-01")
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r.id, []).append(r)
+    assert 2 in by_key and len(by_key[2]) >= 1      # not silently dropped
+
+
+def test_scd2_empty_tracked_raises(spark):
+    import pytest
+
+    dim = spark.createDataFrame(
+        [], "id long, seg string, effective_date date, expiry_date date, "
+            "is_current boolean")
+    stg = spark.createDataFrame([], "id long, seg string")
+    with pytest.raises(ValueError, match="tracked"):
+        scd2_merge(dim, stg, "id", [], "2024-06-01")
