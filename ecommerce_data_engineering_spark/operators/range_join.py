@@ -36,7 +36,13 @@ def range_join_by_expansion(left: DataFrame, right: DataFrame, point_col: str,
                             start_col: str, end_col: str,
                             how: str = "inner") -> DataFrame:
     """Same result as ``range_join`` for date-grain points, via
-    interval→day explosion + equi-join (scale path)."""
+    interval→day explosion + equi-join (scale path).
+
+    Inverted intervals (end < start) match NOTHING, as under BETWEEN:
+    F.sequence would otherwise auto-negate its step and generate the
+    reversed day range, silently matching points the predicate form
+    (and the DuckDB oracle) reject."""
+    right = right.filter(F.col(start_col) <= F.col(end_col))
     exploded = right.withColumn(
         point_col,
         F.explode(F.sequence(F.col(start_col).cast("date"),

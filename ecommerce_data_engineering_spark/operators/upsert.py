@@ -19,8 +19,21 @@ from pyspark.sql import DataFrame
 
 
 def keyed_upsert(old: DataFrame, batch: DataFrame, keys: list[str] | str) -> DataFrame:
-    """M2: old rows not in batch keys + all batch rows."""
+    """M2: old rows not in batch keys + all batch rows.
+
+    Schemas must align by name.  The common trap: a fact persisted via
+    ``write_partitioned`` reads back with its derived partition column
+    (e.g. ``order_month``) as a real column, which the freshly built
+    batch lacks — drop it before upserting.  The check below turns the
+    opaque union AnalysisException into the actionable error."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    extra = set(old.columns) - set(batch.columns)
+    if extra:
+        raise ValueError(
+            f"keyed_upsert: old carries columns absent from batch "
+            f"{sorted(extra)} — if these are read-back partition "
+            f"columns (write_partitioned derives them), .drop() them "
+            f"before the upsert")
     survivors = old.join(batch.select(*keys).distinct(), keys, "left_anti")
     return survivors.unionByName(batch)
 

@@ -172,7 +172,12 @@ def _attach_surrogate(dim: DataFrame, prior_dim: DataFrame | None,
                  if prior_dim is not None and surrogate in prior_dim.columns
                  else None)
     mapping = surrogate_mapping(dim, natural_key, surrogate, prior_map)
-    return dim.join(mapping, natural_key)
+    # null-safe attach: surrogate_mapping deliberately gives a NULL
+    # natural key a durable surrogate; a plain equi-join would drop
+    # that dim row here (NULL = NULL is never true)
+    m = mapping.select(F.col(natural_key).alias("__nk"), surrogate)
+    return (dim.join(m, F.col(natural_key).eqNullSafe(F.col("__nk")))
+            .drop("__nk"))
 
 
 def _drop_if_present(df: DataFrame | None, col: str) -> DataFrame | None:
@@ -338,10 +343,13 @@ def build_product_metrics(dim_products: DataFrame, fact_items: DataFrame,
              .alias("total_profit"),
             F.coalesce("order_count", F.lit(0)).alias("order_count"),
             F.coalesce("total_stock", F.lit(0)).alias("total_stock"),
-            # analytics_dag.py:114-117: guard + truncating division
+            # analytics_dag.py:114-117: guard + truncating division.
+            # PG integer division truncates TOWARD ZERO (cast does
+            # too); floor() would round toward -inf and diverge on a
+            # negative units_sold (returns/corrections)
             F.when(F.coalesce("total_stock", F.lit(0)) > 0,
-                   F.floor(F.coalesce("units_sold", F.lit(0))
-                           / F.col("total_stock")).cast("int"))
+                   (F.coalesce("units_sold", F.lit(0))
+                    / F.col("total_stock")).cast("int"))
              .otherwise(0).alias("stock_turnover"),
         )
     )
@@ -550,9 +558,15 @@ def run_pipeline(spark: SparkSession, raw: dict[str, DataFrame],
         "acquisition_summary": build_acquisition_summary(customer_acquisition),
     }
     try:
+        # analytics_dag.py:325-328: attribution is the one soft-fail
+        # task.  DataFrames are lazy, so this except can only catch
+        # ANALYSIS-time failures (missing campaign columns/table —
+        # the reference's actual soft-fail cause); an execution-time
+        # failure surfaces at the consumer's action like any other
+        # table's would.  Consumers needing a hard guarantee should
+        # eagerly materialize inside their own guard.
         out["campaign_attribution"] = build_campaign_attribution(
             daily_sales, staged["marketing_campaigns"])
     except Exception:
-        # analytics_dag.py:325-328: attribution is the one soft-fail task
         out["campaign_attribution"] = None
     return out
