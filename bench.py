@@ -92,6 +92,11 @@ def main() -> None:
         # them so later queries aren't measured under cache pressure
         spark.catalog.clearCache()
 
+    # The driver captures only the LAST ~2000 chars of stdout; r3's
+    # single fat line (queries+n_samples+spread+min+delta for 22
+    # queries) was truncated mid-object and BENCH_r03.json recorded
+    # parsed:null.  Emit diagnostics FIRST (earlier line + sidecar
+    # file), then ONE compact final line that always fits the window.
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -104,17 +109,28 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    detail = {
+        **out,
         "n_samples": n_used,
         "spread": spread,
         "min": floors,
     }
     prev = _prev_bench()
     if prev and prev.get("sf") == out["sf"] and prev.get("queries"):
-        out["delta_vs_prev"] = {
+        detail["delta_vs_prev"] = {
             n: round(timings[n] - prev["queries"][n], 3)
             for n in timings if n in prev["queries"]
         }
-    print(json.dumps(out))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))          # full diagnostics, earlier line
+    final = json.dumps(out, separators=(",", ":"))
+    if len(final) > 1800:              # belt-and-braces: never outgrow
+        out.pop("queries")             # the driver's tail window
+        final = json.dumps(out, separators=(",", ":"))
+    print(final)
     spark.stop()
 
 

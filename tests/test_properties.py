@@ -251,18 +251,25 @@ def test_approx_distinct_users_error_bound(spark, sf):
 
     if not os.path.isdir(sf):
         pytest.skip(f"{sf} not generated this round")
-    approx = {r.event_type: r for r in REGISTRY["approx_distinct_users"]
+    result = {r.event_type: r for r in REGISTRY["approx_distinct_users"]
               .fn(spark, sf).collect()}
+    # the raw estimate left the query output in r4 (unhashable
+    # cross-engine); recompute it here to keep the quantitative bound
+    est = {r.event_type: r.est for r in
+           load(spark, sf, "events").groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id", 0.02).alias("est"))
+           .collect()}
     exact = {r.event_type: r for r in
              load(spark, sf, "events").groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("exact_users"),
                   F.count(F.lit(1)).alias("n_events")).collect()}
-    assert set(approx) == set(exact) and len(exact) > 0
+    assert set(result) == set(exact) == set(est) and len(exact) > 0
     for et, row in exact.items():
-        est = approx[et].approx_users
-        rel_err = abs(est - row.exact_users) / max(row.exact_users, 1)
-        assert rel_err <= 0.08, (sf, et, est, row.exact_users, rel_err)
-        assert approx[et].n_events == row.n_events
+        rel_err = abs(est[et] - row.exact_users) / max(row.exact_users, 1)
+        assert rel_err <= 0.08, (sf, et, est[et], row.exact_users, rel_err)
+        assert result[et].exact_users == row.exact_users
+        assert result[et].n_events == row.n_events
+        assert result[et].within_5pct == 1, (sf, et, est[et], row.exact_users)
 
 
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",

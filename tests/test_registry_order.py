@@ -65,10 +65,9 @@ def test_driver_window_contains_extension_queries():
 
 
 def test_window_queries_are_oracle_checked():
-    """Inside the window, only the documented rows-only query may lack
-    an oracle (the HLL sketch, whose error bound is pinned in
-    test_properties instead; the SCD2 pipeline query gained a full
-    closed-form oracle in round 3)."""
+    """Every window query carries a full SQL oracle — since r4 even the
+    HLL sketch verifies via its exact-count + bounded-error-flag
+    contract (the raw estimate stays out of the output)."""
     window = list(REGISTRY.items())[:DRIVER_WINDOW]
     rows_only = {n for n, s in window if s.oracle is None}
-    assert rows_only <= {"approx_distinct_users"}, rows_only
+    assert not rows_only, rows_only

@@ -9,15 +9,20 @@ from ecommerce_data_engineering_spark.plans import REGISTRY
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    approx = {r.event_type: r.approx_users for r in
-              REGISTRY["approx_distinct_users"].fn(spark, sf_dir).collect()}
+    """r4 contract: the query itself computes the |approx−exact|/exact
+    ≤ 5 % check and surfaces it as within_5pct, next to the exact
+    count — assert the flag holds and the exact column is truly exact."""
+    rows = {r.event_type: r for r in
+            REGISTRY["approx_distinct_users"].fn(spark, sf_dir).collect()}
     from ecommerce_data_engineering_spark.sources import load
     exact = {r.event_type: r.exact for r in
              load(spark, sf_dir, "events")
              .groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("exact")).collect()}
-    for et, est in approx.items():
-        assert abs(est - exact[et]) <= max(3, 0.1 * exact[et]), (et, est, exact[et])
+    assert set(rows) == set(exact) and rows
+    for et, r in rows.items():
+        assert r.within_5pct == 1, (et, r)
+        assert r.exact_users == exact[et], (et, r.exact_users, exact[et])
 
 
 def test_rolling_window_is_trailing(spark, sf_dir):
