@@ -160,16 +160,25 @@ def incremental_agg_refresh(prev: DataFrame, diff: DataFrame,
     arithmetic is exact and order-independent; negation of an exact
     long is exact, unlike floating-point accumulate-then-cancel.
 
-    NULL measures contribute nothing to their sum but the row still
-    counts in ``count_col`` (count = rows, not non-null values).
+    NULL measures contribute 0 to their sum (coalesced in the delta
+    legs) but the row still counts in ``count_col`` (count = rows, not
+    non-null values).  NULL-measure contract (ADVICE r3): the
+    maintained sum is ``sum(coalesce(m, 0))`` — on a group whose
+    surviving rows carry only NULL measures it reads 0, where a
+    from-scratch plain ``SUM(m)`` recompute would read NULL.  Callers
+    wanting refresh ≡ recompute must either keep ``sum_cols`` non-null
+    (the scaled-long money convention already does) or spell the
+    recompute as ``sum(coalesce(m, 0))``.
     """
     neg = (diff.filter(F.col(CHANGE_COL) != "insert")
            .select(*[F.col(f"before.{k}").alias(k) for k in group_keys],
-                   *[(-F.col(f"before.{m}")).alias(m) for m in sum_cols],
+                   *[(-F.coalesce(F.col(f"before.{m}"), F.lit(0)))
+                     .alias(m) for m in sum_cols],
                    F.lit(-1).cast("bigint").alias(count_col)))
     pos = (diff.filter(F.col(CHANGE_COL) != "delete")
            .select(*[F.col(f"after.{k}").alias(k) for k in group_keys],
-                   *[F.col(f"after.{m}").alias(m) for m in sum_cols],
+                   *[F.coalesce(F.col(f"after.{m}"), F.lit(0))
+                     .alias(m) for m in sum_cols],
                    F.lit(1).cast("bigint").alias(count_col)))
     return (prev.unionByName(neg).unionByName(pos)
             .groupBy(*group_keys)

@@ -38,19 +38,25 @@ def null_safe_left_join(left: DataFrame, right: DataFrame, key: str) -> DataFram
 
 
 def salted_join(left: DataFrame, right: DataFrame, key: str, n_salts: int = 8,
-                how: str = "inner") -> DataFrame:
+                how: str = "inner",
+                salt_cols: list[str] | None = None) -> DataFrame:
     """Equi-join with the left key salted across ``n_salts`` reducers.
 
-    Salt is xxhash64 over EVERY left column — deterministic per row
+    Salt is xxhash64 over the left row — deterministic per row
     content, which matters: a nondeterministic salt (rand,
     monotonically_increasing_id) feeding a shuffle key is the classic
     lost/duplicated-rows-on-stage-retry hazard, because the recomputed
     map task salts rows differently from the copies reducers already
-    fetched.  Tradeoff: byte-identical duplicate left rows share a
-    salt (they cannot be told apart deterministically), so a hot key
-    whose skew is PURE row duplication still lands on one reducer —
-    spread those upstream with a real discriminator column.  The right
-    side is exploded once per salt — right must be the smaller input.
+    fetched.  By default every HASHABLE left column feeds the salt;
+    map-typed payload columns are skipped (Spark cannot hash MapType —
+    UNSUPPORTED_FEATURE.HASH_MAP_TYPE would fail the whole plan at
+    analysis time, ADVICE r3), or pass ``salt_cols`` to pin the
+    discriminator set explicitly.  Tradeoff: left rows identical on
+    the salted columns share a salt (they cannot be told apart
+    deterministically), so a hot key whose skew is PURE row
+    duplication still lands on one reducer — spread those upstream
+    with a real discriminator column.  The right side is exploded once
+    per salt — right must be the smaller input.
 
     Only inner/left-flavored joins are supported: the right side is
     replicated n_salts times, so any flavor that emits unmatched RIGHT
@@ -63,7 +69,15 @@ def salted_join(left: DataFrame, right: DataFrame, key: str, n_salts: int = 8,
             f"salted_join: how={how!r} unsupported — the replicated "
             f"right side would emit unmatched right rows once per salt; "
             f"use one of {sorted(allowed)}")
-    salt = (F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+    if salt_cols is None:
+        salt_cols = [c for c, t in left.dtypes if not t.startswith("map<")]
+    if not salt_cols:
+        raise ValueError(
+            "salted_join: no hashable salt columns (every left column "
+            "is map-typed, or salt_cols=[]) — a constant salt would "
+            "put the hot key back on one reducer; name a hashable "
+            "discriminator")
+    salt = (F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
                    F.lit(n_salts))).cast("int")
     l = left.withColumn("__salt", salt)
     r = right.withColumn(

@@ -110,10 +110,13 @@ def read_csv_quarantine(
     cache the scan, which is a non-starter at ingest scale.  Parsing
     the line as a struct column has no such restriction.  Limitations
     of the text path: records must be single-line (no embedded
-    newlines), and with ``header=True`` any data line that parses to
-    exactly the column names (case/space/quote-insensitively) is
-    dropped as a header.
+    newlines), and with ``header=True`` exactly ONE header-lookalike
+    line per file is dropped as the header — further lines whose cells
+    equal the column names flow through as ordinary data (ADVICE r3:
+    the old filter silently ate every lookalike in every file, and its
+    quote-naive split missed headers with quoted, comma-bearing cells).
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     full = T.StructType(list(schema.fields)
@@ -127,16 +130,34 @@ def read_csv_quarantine(
     raw = spark.read.text(path).filter(F.trim(F.col("value")) != "")
     if header:
         # header detection tolerant of spacing, case, quoting, and a
-        # BOM: split the line and compare the normalized cells to the
-        # declared column names (column ORDER must match the schema —
-        # a different order is a genuinely different file contract and
-        # should surface as quarantined rows, not silent reordering)
+        # BOM — QUOTE-AWARE: parse the line through from_csv as
+        # all-strings (proper CSV quoting, so a quoted header cell
+        # containing a comma still matches) and compare the normalized
+        # cells to the declared column names (column ORDER must match
+        # the schema — a different order is a genuinely different file
+        # contract and should surface as quarantined rows, not silent
+        # reordering).
+        probe_ddl = ", ".join(f"`{f.name}` string" for f in schema.fields)
+        probe = F.from_csv(
+            F.regexp_replace(F.col("value"), "\\ufeff", ""), probe_ddl)
+        cells = F.array(*[F.lower(F.trim(probe[f.name]))
+                          for f in schema.fields])
         names = F.array(*[F.lit(f.name.lower()) for f in schema.fields])
-        cells = F.transform(
-            F.split(F.col("value"), ","),
-            lambda x: F.lower(F.trim(
-                F.regexp_replace(x, '["\\ufeff]', ""))))
-        raw = raw.filter(~(cells == names))
+        # short lines parse to NULL probe cells → the array compare is
+        # NULL, and a bare ~NULL filter would silently eat the row;
+        # NULL-lookalike means "not a header"
+        lookalike = F.coalesce(cells == names, F.lit(False))
+        # one header per FILE: rank lookalikes within each file and
+        # drop only the first — a data row that happens to spell the
+        # column names is data, not a header (all lookalikes in a file
+        # parse identically, so which one plays "header" is
+        # immaterial; the window shuffles only ~n_files rows)
+        w = Window.partitionBy(F.input_file_name()).orderBy("value")
+        keep_header_like = (
+            raw.filter(lookalike)
+            .withColumn("_hdr_rn", F.row_number().over(w))
+            .filter(F.col("_hdr_rn") > 1).drop("_hdr_rn"))
+        raw = raw.filter(~lookalike).unionByName(keep_header_like)
     parsed = raw.select(
         F.from_csv(F.col("value"), ddl,
                    {"mode": "PERMISSIVE",

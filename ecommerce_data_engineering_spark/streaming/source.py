@@ -14,12 +14,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..schemas import FIXTURES
 
-# (session id, dir, glob) -> sniffed ts dtype; the footer read costs a
-# listing + footer fetch on the driver, and four stream builders all
-# route through here — memoize so it really is once per (session, path)
-# as the module docstring promises.  Keyed by id(spark) so a restarted
-# session re-sniffs (files may have been regenerated between sessions).
-_TS_DTYPE_CACHE: dict[tuple[int, str, str], str | None] = {}
+# (app id, dir, glob, newest mtime) -> sniffed ts dtype; the footer
+# read costs a listing + footer fetch on the driver, and four stream
+# builders all route through here — memoize so it really is once per
+# (session, path) as the module docstring promises.  Keyed by the
+# session's applicationId, NOT id(spark): id() values are recycled
+# after garbage collection, so a new session at the same address would
+# silently inherit a stale sniff (ADVICE r3).  The newest-file mtime in
+# the key makes regenerated fixtures (same path, new physical ts type)
+# re-sniff within one long-lived session.
+_TS_DTYPE_CACHE: dict[tuple[str, str, str, float], str | None] = {}
+
+
+def _newest_mtime(dir_path: str, glob: str) -> float:
+    import glob as globlib
+    import os
+    paths = globlib.glob(os.path.join(dir_path, glob)) or [dir_path]
+    try:
+        return max(os.path.getmtime(p) for p in paths)
+    except OSError:          # non-local / vanished paths: sniff once
+        return 0.0
 
 
 def stream_events_dir(spark: SparkSession, dir_path: str,
@@ -29,7 +43,8 @@ def stream_events_dir(spark: SparkSession, dir_path: str,
     TIMESTAMP whatever the files stored — the footer sniff and both
     schema branches live here so every consumer (and test) follows the
     fixture's actual physical type instead of hardcoding one."""
-    key = (id(spark), dir_path, glob)
+    key = (spark.sparkContext.applicationId, dir_path, glob,
+           _newest_mtime(dir_path, glob))
     if key not in _TS_DTYPE_CACHE:
         _TS_DTYPE_CACHE[key] = dict(
             spark.read.option("pathGlobFilter", glob)

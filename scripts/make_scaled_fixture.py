@@ -13,9 +13,17 @@ query has scale-dependent tie/cap/overflow divergence:
     SPARK_GRAFT_TEST_SF_DIR=/tmp/sf_synth \
         python -m pytest tests/test_oracle_diff.py -q
 
-Duplicated text/embedding payloads are a feature for the dedup tier:
-every document gains k exact copies, so exact/near-dup operators see a
-denser duplicate regime than the generator ever produces.
+Text/embedding payloads are PERTURBED per copy (r4, VERDICT r3 #5):
+r3's exact clones gave every doc 4 exact copies, which inflated the
+pair-emitting dedup operators' all-pairs volume ~16x past any real
+corpus and forced their exclusion from the sweep.  Copy k>0 now maps
+every word w -> 'c{k}w' (injective per word, so shingle sets map
+injectively: WITHIN-copy Jaccard/SimHash structure is preserved
+bit-for-bit while CROSS-copy shingle overlap is zero) and circularly
+shifts embeddings by 16*k of 64 dims (a permutation is orthogonal:
+within-copy dot products and norms exact, cross-copy cosine
+decorrelated).  Duplicate density therefore scales linearly (4x), not
+quadratically, and all pair-emitting queries stay oracle-diffable.
 """
 
 from __future__ import annotations
@@ -59,12 +67,32 @@ def main() -> None:
             continue
         sels = []
         for k in range(copies):
-            cols = ", ".join(
-                f"({c} + {k * OFFSET}) AS {c}" if c in keys else c
-                for c in [r[0] for r in con.execute(
+            exprs = []
+            for c in [r[0] for r in con.execute(
                     f"DESCRIBE SELECT * FROM read_parquet('{path}')"
-                ).fetchall()])
-            sels.append(f"SELECT {cols} FROM read_parquet('{path}')")
+                    ).fetchall()]:
+                if c in keys:
+                    exprs.append(f"({c} + {k * OFFSET}) AS {c}")
+                elif k > 0 and table == "documents" and c == "text":
+                    # injective word map: within-copy dup structure
+                    # exact, cross-copy shingle overlap zero
+                    exprs.append(
+                        rf"regexp_replace(text, '([a-z0-9]+)', "
+                        rf"'c{k}\1', 'g') AS text")
+                elif k > 0 and table == "documents" and c == "n_chars":
+                    exprs.append(
+                        rf"CAST(length(regexp_replace(text, "
+                        rf"'([a-z0-9]+)', 'c{k}\1', 'g')) AS BIGINT) "
+                        rf"AS n_chars")
+                elif k > 0 and table == "embeddings" and c == "embedding":
+                    s = (16 * k) % 64   # orthogonal circular shift
+                    exprs.append(
+                        f"(embedding[{s + 1}:] || embedding[1:{s}]) "
+                        f"AS embedding")
+                else:
+                    exprs.append(c)
+            sels.append(f"SELECT {', '.join(exprs)} "
+                        f"FROM read_parquet('{path}')")
         con.execute(f"COPY ({' UNION ALL '.join(sels)}) TO "
                     f"'{out}/{table}.parquet' (FORMAT PARQUET)")
         n = con.execute(

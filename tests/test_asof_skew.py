@@ -72,6 +72,31 @@ def test_salted_join_equals_plain_on_hot_key(spark):
             == want.groupBy("tag").count().orderBy("tag").collect())
 
 
+def test_salted_join_tolerates_map_payload(spark):
+    """ADVICE r3: xxhash64 cannot hash MapType — a map payload column
+    must be skipped from the salt (or named out via salt_cols), not
+    fail the whole plan at analysis time."""
+    left = spark.range(200).select(
+        (F.col("id") % 3).alias("k"), F.col("id"),
+        F.create_map(F.lit("a"), F.col("id")).alias("props"))
+    right = spark.createDataFrame([(0, "x"), (1, "y")], "k long, tag string")
+    got = salted_join(left, right, "k", n_salts=4)
+    want = left.join(right, "k")
+    assert got.count() == want.count()
+
+    # explicit salt_cols works too
+    got2 = salted_join(left, right, "k", n_salts=4, salt_cols=["k", "id"])
+    assert got2.count() == want.count()
+
+    # all-map left (beyond the key there is nothing hashable) — the
+    # key itself is still hashable, so the default salt works; an
+    # explicit empty salt set is a loud error
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        salted_join(left.select("props"), right, "k", n_salts=4,
+                    salt_cols=[]).collect()
+
+
 @pytest.fixture()
 def media(spark):
     docs = spark.createDataFrame(

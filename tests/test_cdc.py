@@ -235,3 +235,32 @@ def test_incremental_agg_refresh_equals_recompute_on_random_mutations(spark):
     assert got == want
     assert not any(g == "lonely" for g, *_ in got)   # zero-count dropped
     assert any(g == "born" for g, *_ in got)         # diff-born group
+
+
+def test_incremental_agg_refresh_null_measure_contract(spark):
+    """ADVICE r3 edge: deletes cancel every non-null value in a group
+    whose surviving rows are all-NULL.  The maintained sum is defined
+    as sum(coalesce(m, 0)) — it reads 0 there, matching a
+    coalesce-spelled recompute (a plain SUM recompute would read NULL;
+    that divergence is the documented contract, not a drift)."""
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.operators.cdc import (
+        incremental_agg_refresh, snapshot_diff)
+
+    v1 = spark.createDataFrame(
+        [(1, "g", 5), (2, "g", -5), (3, "g", None), (4, "g", None)],
+        "k long, g string, x long")
+    v2 = spark.createDataFrame(                      # delete keys 1, 2
+        [(3, "g", None), (4, "g", None)], "k long, g string, x long")
+
+    def agg(df):
+        return (df.groupBy("g")
+                .agg(F.sum(F.coalesce("x", F.lit(0))).alias("x"),
+                     F.count(F.lit(1)).alias("n")))
+
+    diff = snapshot_diff(v1, v2, ["k"], ["g", "x"])
+    got = incremental_agg_refresh(agg(v1), diff, ["g"], ["x"]).collect()
+    assert len(got) == 1
+    assert (got[0].g, got[0].x, got[0].n) == ("g", 0, 2)
+    want = agg(v2).collect()[0]
+    assert (got[0].x, got[0].n) == (want.x, want.n)

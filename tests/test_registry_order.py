@@ -71,3 +71,16 @@ def test_window_queries_are_oracle_checked():
     window = list(REGISTRY.items())[:DRIVER_WINDOW]
     rows_only = {n for n, s in window if s.oracle is None}
     assert not rows_only, rows_only
+
+
+def test_bench_headliners_never_lose_verification():
+    """VERDICT r3 #8: _PRIORITY carries 30+ past-window names, so a
+    bench=True query can drift out of the driver window — pin that
+    every benched query still carries a SQL oracle (past-window
+    queries are swept by test_oracle_diff + scripts/scale_correctness,
+    in-window ones by the driver), i.e. a bench headliner can never
+    silently become rows-only."""
+    unverified = sorted(n for n, s in REGISTRY.items()
+                        if s.bench and s.oracle is None)
+    assert not unverified, (
+        f"bench=True queries without an oracle: {unverified}")

@@ -307,6 +307,62 @@ def test_csv_quarantine_splits_good_and_bad(spark):
         assert [(r.id, r.qty) for r in good2.collect()] == [(4, 40)]
 
 
+def test_csv_quarantine_header_lookalikes_and_quoted_commas(spark):
+    """ADVICE r3 fixes: (a) only ONE header-lookalike line per file is
+    dropped — later data rows spelling the column names survive as
+    data; (b) header matching is quote-aware, so a quoted header cell
+    containing a comma is still recognized (the naive split leaked one
+    bogus dead-letter row per file); (c) short lines are quarantined,
+    not eaten by a NULL-propagating header compare."""
+    from ecommerce_data_engineering_spark.sources import read_csv_quarantine
+
+    with tempfile.TemporaryDirectory() as d:
+        # (a) all-string schema where a data row can equal the header
+        path = os.path.join(d, "f.csv")
+        with open(path, "w") as f:
+            f.write("word,tag\n")       # real header
+            f.write("hello,x\n")
+            f.write("word,tag\n")       # DATA that spells the header
+            f.write("word,tag\n")       # ... twice
+        schema = T.StructType([
+            T.StructField("word", T.StringType()),
+            T.StructField("tag", T.StringType()),
+        ])
+        good, bad = read_csv_quarantine(spark, path, schema)
+        assert bad.count() == 0
+        rows = sorted((r.word, r.tag) for r in good.collect())
+        assert rows == [("hello", "x"), ("word", "tag"), ("word", "tag")]
+
+        # (b) quoted, comma-bearing header cell is a header, not data
+        path2 = os.path.join(d, "g.csv")
+        with open(path2, "w") as f:
+            f.write('"name, full",age\n')
+            f.write('"doe, jane",40\n')
+        schema2 = T.StructType([
+            T.StructField("name, full", T.StringType()),
+            T.StructField("age", T.LongType()),
+        ])
+        good2, bad2 = read_csv_quarantine(spark, path2, schema2)
+        assert bad2.count() == 0
+        g2 = good2.collect()
+        assert [(r["name, full"], r.age) for r in g2] == [("doe, jane", 40)]
+
+        # (c) a one-cell line must not vanish through ~NULL
+        path3 = os.path.join(d, "h.csv")
+        with open(path3, "w") as f:
+            f.write("id,qty\n")
+            f.write("7\n")               # short line
+            f.write("8,80\n")
+        schema3 = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.LongType()),
+        ])
+        good3, bad3 = read_csv_quarantine(spark, path3, schema3)
+        got3 = {(r.id, r.qty) for r in good3.collect()} \
+            | {(r.id, r.qty) for r in bad3.collect()}
+        assert (7, None) in got3 and (8, 80) in got3
+
+
 def test_json_quarantine_splits_good_and_bad(spark):
     from ecommerce_data_engineering_spark.sources import read_json_quarantine
 
