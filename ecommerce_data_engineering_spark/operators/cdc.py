@@ -155,10 +155,14 @@ def incremental_agg_refresh(prev: DataFrame, diff: DataFrame,
     Scale shape: the shuffle is over |groups| + 2·|changes| rows —
     independent of fact-table size, which is the whole point: at 100 TB
     the nightly metric refresh costs minutes over the diff instead of a
-    full recompute.  Exactness: callers keep additive measures in
-    scaled-long space (``rounding.to_scaled_long``) so the +/− delta
-    arithmetic is exact and order-independent; negation of an exact
-    long is exact, unlike floating-point accumulate-then-cancel.
+    full recompute.  Both delta legs are emitted from ONE pass over the
+    diff (explode of per-row contribution structs) — the r3 form
+    filtered the diff twice, which re-executed the whole upstream
+    full-outer join per leg unless the caller had persisted it.
+    Exactness: callers keep additive measures in scaled-long space
+    (``rounding.to_scaled_long``) so the +/− delta arithmetic is exact
+    and order-independent; negation of an exact long is exact, unlike
+    floating-point accumulate-then-cancel.
 
     NULL measures contribute 0 to their sum (coalesced in the delta
     legs) but the row still counts in ``count_col`` (count = rows, not
@@ -170,17 +174,19 @@ def incremental_agg_refresh(prev: DataFrame, diff: DataFrame,
     (the scaled-long money convention already does) or spell the
     recompute as ``sum(coalesce(m, 0))``.
     """
-    neg = (diff.filter(F.col(CHANGE_COL) != "insert")
-           .select(*[F.col(f"before.{k}").alias(k) for k in group_keys],
-                   *[(-F.coalesce(F.col(f"before.{m}"), F.lit(0)))
-                     .alias(m) for m in sum_cols],
-                   F.lit(-1).cast("bigint").alias(count_col)))
-    pos = (diff.filter(F.col(CHANGE_COL) != "delete")
-           .select(*[F.col(f"after.{k}").alias(k) for k in group_keys],
-                   *[F.coalesce(F.col(f"after.{m}"), F.lit(0))
-                     .alias(m) for m in sum_cols],
-                   F.lit(1).cast("bigint").alias(count_col)))
-    return (prev.unionByName(neg).unionByName(pos)
+    def leg(side: str, sign: int):
+        return F.struct(
+            *[F.col(f"{side}.{k}").alias(k) for k in group_keys],
+            *[(F.lit(sign) * F.coalesce(F.col(f"{side}.{m}"), F.lit(0)))
+              .alias(m) for m in sum_cols],
+            F.lit(sign).cast("bigint").alias(count_col))
+
+    deltas = (diff.select(F.explode(F.array_compact(F.array(
+                  F.when(F.col(CHANGE_COL) != "insert", leg("before", -1)),
+                  F.when(F.col(CHANGE_COL) != "delete", leg("after", 1)),
+              ))).alias("_d"))
+              .select("_d.*"))
+    return (prev.unionByName(deltas)
             .groupBy(*group_keys)
             .agg(*[F.sum(m).alias(m) for m in sum_cols],
                  F.sum(count_col).alias(count_col))

@@ -43,22 +43,35 @@ QUADRATIC_ORACLES = {
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_synth"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/tmp/sf_synth"
     include_all = "--all" in sys.argv
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
 
     from pyspark.sql import SparkSession
 
     from oracle import compare, duckdb_run
     from ecommerce_data_engineering_spark.plans import REGISTRY
 
+    # 4x-sf0.1 pair-emitting queries need real executor heap (the 1g
+    # JVM default OOMs on the ~1.2M-pair simhash/jaccard volume the
+    # tiny fixture vocabulary produces); at cluster scale this is the
+    # executor memory the cluster manager provides.
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
     fails, skipped, n_ok = [], [], 0
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None:
+            continue
+        if only is not None and name not in only:
             continue
         if name in QUADRATIC_ORACLES and not include_all:
             skipped.append(name)

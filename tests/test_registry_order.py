@@ -84,3 +84,23 @@ def test_bench_headliners_never_lose_verification():
                         if s.bench and s.oracle is None)
     assert not unverified, (
         f"bench=True queries without an oracle: {unverified}")
+
+
+def test_bench_final_json_line_fits_driver_tail():
+    """The driver records only the LAST ~2000 chars of bench.py output
+    (BENCH_r03.json came back parsed:null when the line outgrew it).
+    bench.py caps its compact final line at 1800 chars before dropping
+    per-query numbers — pin that the CURRENT bench set stays under the
+    cap with realistic 7-char timings, so growth in the bench roster
+    is caught here instead of in a truncated round artifact."""
+    import json
+
+    queries = {n: 999.999 for n, s in REGISTRY.items() if s.bench}
+    line = json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": 99999.999, "value_min": 99999.999,
+        "unit": "sec", "queries": queries, "sf": 0.1,
+    }, separators=(",", ":"))
+    assert len(line) <= 1800, (
+        f"final bench line would be {len(line)} chars; trim the bench "
+        f"set or shorten names before the driver truncates it again")
