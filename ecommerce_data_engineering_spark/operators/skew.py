@@ -70,7 +70,10 @@ def salted_join(left: DataFrame, right: DataFrame, key: str, n_salts: int = 8,
             f"right side would emit unmatched right rows once per salt; "
             f"use one of {sorted(allowed)}")
     if salt_cols is None:
-        salt_cols = [c for c, t in left.dtypes if not t.startswith("map<")]
+        # xxhash64 rejects any type CONTAINING a map (not just top-level
+        # maps): array<map<...>>, struct with a map field, etc. — so the
+        # filter is substring, not prefix (ADVICE r4).
+        salt_cols = [c for c, t in left.dtypes if "map<" not in t]
     if not salt_cols:
         raise ValueError(
             "salted_join: no hashable salt columns (every left column "

@@ -257,8 +257,18 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    within = (F.abs(F.col("approx_users") - F.col("exact_users"))
-              / F.col("exact_users") <= F.lit(0.05)).cast("int")
+    # greatest(exact,1): an all-NULL-user event_type has exact_users=0
+    # and a bare division would yield NULL, diverging from the oracle's
+    # literal 1 (ADVICE r4); approx is also 0 there, so the ratio is 0.
+    # coalesce: keep the flag non-null under any future NULL leakage.
+    # Margin note: 5 % ~ 2.5 sigma at rsd=0.02 — deterministic for a
+    # given fixture, but a regenerated fixture could legitimately land
+    # outside; if the driver ever flags this row, widen before debugging.
+    within = F.coalesce(
+        (F.abs(F.col("approx_users") - F.col("exact_users"))
+         / F.greatest(F.col("exact_users"), F.lit(1))
+         <= F.lit(0.05)).cast("int"),
+        F.lit(0))
     return agg.select("event_type", "exact_users", "n_events",
                       within.alias("within_5pct"))
 

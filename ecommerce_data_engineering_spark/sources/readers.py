@@ -149,10 +149,18 @@ def read_csv_quarantine(
         lookalike = F.coalesce(cells == names, F.lit(False))
         # one header per FILE: rank lookalikes within each file and
         # drop only the first — a data row that happens to spell the
-        # column names is data, not a header (all lookalikes in a file
-        # parse identically, so which one plays "header" is
-        # immaterial; the window shuffles only ~n_files rows)
-        w = Window.partitionBy(F.input_file_name()).orderBy("value")
+        # column names is data, not a header.  Lookalikes are only
+        # normalization-equivalent (case/spacing may differ and the
+        # main parse keeps raw cells), so which one is dropped matters:
+        # a byte-exact match to the declared names sorts first (ADVICE
+        # r4 — header 'word,tag' + data row 'WORD,TAG' must drop
+        # 'word,tag' and keep ('WORD','TAG') as data).  The window
+        # shuffles only ~n_files rows.
+        exact_cells = F.array(*[probe[f.name] for f in schema.fields])
+        exact_names = F.array(*[F.lit(f.name) for f in schema.fields])
+        exact = F.coalesce(exact_cells == exact_names, F.lit(False))
+        w = Window.partitionBy(F.input_file_name()).orderBy(
+            exact.desc(), "value")
         keep_header_like = (
             raw.filter(lookalike)
             .withColumn("_hdr_rn", F.row_number().over(w))

@@ -54,6 +54,17 @@ def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_synth"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    # The embedding shift is 16*k of 64 dims: at k=4 it wraps to 0 and
+    # copy 4 would carry EXACT duplicate embeddings — the regime the
+    # perturbation exists to eliminate (ADVICE r4).  The word map
+    # 'c{k}w' likewise assumes the source vocabulary never already
+    # starts with 'c<digit>' (true for the driver's generator).
+    if copies > 4:
+        raise SystemExit(
+            f"copies={copies} > 4: embedding circular shift (16*k)%64 "
+            f"wraps to identity at k=4, reintroducing exact-duplicate "
+            f"embeddings. Use copies<=4 or add a non-wrapping per-copy "
+            f"permutation first.")
 
     import duckdb               # plain columnar copy — no Spark needed
 

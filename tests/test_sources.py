@@ -363,6 +363,53 @@ def test_csv_quarantine_header_lookalikes_and_quoted_commas(spark):
         assert (7, None) in got3 and (8, 80) in got3
 
 
+def test_csv_quarantine_exact_header_preferred_and_multifile(spark):
+    """ADVICE r4 + VERDICT r4 #6: (a) when a DATA row is only
+    normalization-equivalent to the header (case/spacing differ), the
+    byte-exact header line is the one dropped — the data row's raw
+    cells survive (header 'word,tag' + data 'WORD,TAG' must yield
+    ('WORD','TAG'), not ('word','tag')); (b) the one-header-per-FILE
+    rule holds under multi-file input with zero cross-file
+    interference — a directory where each file has its own header and
+    one file's first data row spells the column names drops exactly
+    one line per file."""
+    from ecommerce_data_engineering_spark.sources import read_csv_quarantine
+
+    schema = T.StructType([
+        T.StructField("word", T.StringType()),
+        T.StructField("tag", T.StringType()),
+    ])
+    with tempfile.TemporaryDirectory() as d:
+        # (a) byte-exact match wins the drop
+        path = os.path.join(d, "f.csv")
+        with open(path, "w") as f:
+            f.write("word,tag\n")        # real header (byte-exact)
+            f.write("WORD,TAG\n")        # DATA, normalization-equal only
+            f.write("hello,x\n")
+        good, bad = read_csv_quarantine(spark, path, schema)
+        assert bad.count() == 0
+        rows = sorted((r.word, r.tag) for r in good.collect())
+        assert rows == [("WORD", "TAG"), ("hello", "x")]
+
+    with tempfile.TemporaryDirectory() as d:
+        # (b) two files, one drop each, no cross-file interference:
+        # file A's FIRST DATA ROW spells the names (after its header),
+        # file B has a spacing-variant header and ordinary data.
+        with open(os.path.join(d, "a.csv"), "w") as f:
+            f.write("word,tag\n")        # header A
+            f.write("word,tag\n")        # data A1 (spells the names)
+            f.write("alpha,y\n")         # data A2
+        with open(os.path.join(d, "b.csv"), "w") as f:
+            f.write("word, tag\n")       # header B (spacing variant)
+            f.write("beta,z\n")          # data B1
+        good, bad = read_csv_quarantine(spark, d, schema)
+        assert bad.count() == 0
+        rows = sorted((r.word, r.tag) for r in good.collect())
+        # 5 input lines - 2 headers = 3 data rows; A's lookalike data
+        # row survives, B loses only its own header
+        assert rows == [("alpha", "y"), ("beta", "z"), ("word", "tag")]
+
+
 def test_json_quarantine_splits_good_and_bad(spark):
     from ecommerce_data_engineering_spark.sources import read_json_quarantine
 
