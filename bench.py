@@ -48,49 +48,67 @@ def main() -> None:
 
     bench_queries = {n: s for n, s in REGISTRY.items() if s.bench}
 
+    def _run(spec) -> float:
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # noop sink materializes every row JVM-side, no driver collect
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Pass A: warm + adaptive median sampling per query.  Warm run
+    # (untimed) absorbs whole-stage-codegen compilation + parquet
+    # footer caches — we report steady-state throughput, the number
+    # that scales.  Timed runs report the MEDIAN (this box is shared;
+    # a lone sample can eat a multi-second scheduling/GC stall that
+    # says nothing about the plan).  Adaptive sampling (r2): keep
+    # sampling while the range is > 30% of the median, up to 7.
+    pass_a: dict[str, list[float]] = {}
+    for name, spec in bench_queries.items():
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples = [_run(spec) for _ in range(N_SAMPLES)]
+        while (max(samples) - min(samples)
+               > NOISE_FRAC * statistics.median(samples)
+               and len(samples) < MAX_SAMPLES):
+            samples.append(_run(spec))
+        pass_a[name] = samples
+        # queries may persist intermediates (e.g. LSH shingles); drop
+        # them so later queries aren't measured under cache pressure
+        spark.catalog.clearCache()
+
+    # Pass B (r4 VERDICT #2): a second, temporally-spaced full pass.
+    # Box-load contamination on this host persists across a whole
+    # per-query sampling window (adaptive resampling cannot save a
+    # query whose entire window is covered — r3/r4 evidence), but it
+    # does NOT persist across the whole bench: by the time pass B
+    # reaches a query, minutes have elapsed.  The reported per-query
+    # value is min(median(pass A), median(pass B)) — whichever window
+    # was cleaner — so one contaminated window inflates nothing.
+    pass_b: dict[str, list[float]] = {}
+    for name, spec in bench_queries.items():
+        pass_b[name] = [_run(spec) for _ in range(2)]
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     floors: dict[str, float] = {}
     spread: dict[str, float] = {}
     n_used: dict[str, int] = {}
-    for name, spec in bench_queries.items():
-        # Warm run (untimed): whole-stage-codegen compilation + parquet
-        # footer caches — we report steady-state throughput, the number
-        # that scales; first-run Janino compile is a constant, not a
-        # per-byte cost.  Timed runs report the MEDIAN (this box is
-        # shared; a lone sample can eat a multi-second scheduling/GC
-        # stall that says nothing about the plan).
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-        def _run() -> float:
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            # noop sink materializes every row JVM-side, no driver collect
-            df.write.format("noop").mode("overwrite").save()
-            return time.perf_counter() - t0
-
-        # Adaptive sampling (r2: embedding_ann_lsh's spread exceeded
-        # its value because ONE of three samples ate a multi-second
-        # scheduling stall): keep sampling while the range is > 30% of
-        # the median, up to 7 samples.  The reported noise bar is the
-        # range of the middle three sorted samples — a stall then
-        # widens n_samples, not the bar; the median is stall-robust
-        # either way.
-        samples = [_run() for _ in range(N_SAMPLES)]
-        while (max(samples) - min(samples)
-               > NOISE_FRAC * statistics.median(samples)
-               and len(samples) < MAX_SAMPLES):
-            samples.append(_run())
-        timings[name] = round(statistics.median(samples), 3)
-        # the min is the stall-robust floor: this box takes intermittent
-        # multi-second stalls that can cover a whole sampling window and
-        # poison even a median-of-7; min >> median divergence flags it
-        floors[name] = round(min(samples), 3)
-        mid = sorted(samples)[(len(samples) - 3) // 2:][:3]
+    suspect: list[str] = []
+    for name in bench_queries:
+        med_a = statistics.median(pass_a[name])
+        med_b = statistics.median(pass_b[name])
+        timings[name] = round(min(med_a, med_b), 3)
+        all_samples = pass_a[name] + pass_b[name]
+        # the min is the stall-robust floor: min >> median divergence
+        # flags residual contamination even after the two-pass min
+        floors[name] = round(min(all_samples), 3)
+        mid = sorted(pass_a[name])[(len(pass_a[name]) - 3) // 2:][:3]
         spread[name] = round(max(mid) - min(mid), 3)
-        n_used[name] = len(samples)
-        # queries may persist intermediates (e.g. LSH shingles); drop
-        # them so later queries aren't measured under cache pressure
-        spark.catalog.clearCache()
+        n_used[name] = len(all_samples)
+        # self-flag: if the best pass-median still sits >1.3x above the
+        # best single observation, BOTH windows were noisy — the entry
+        # is untrustworthy and the record says so (r4 VERDICT #2)
+        if floors[name] > 0 and timings[name] / floors[name] > 1.3:
+            suspect.append(name)
 
     # The driver captures only the LAST ~2000 chars of stdout; r3's
     # single fat line (queries+n_samples+spread+min+delta for 22
@@ -109,6 +127,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # queries whose best pass-median is still >1.3x the best single
+        # observation: both sampling windows were noisy; treat their
+        # entries (and their share of "value") as upper bounds
+        "suspect": suspect,
     }
     detail = {
         **out,

@@ -100,6 +100,8 @@ def test_bench_final_json_line_fits_driver_tail():
         "metric": "headline_queries_total_runtime",
         "value": 99999.999, "value_min": 99999.999,
         "unit": "sec", "queries": queries, "sf": 0.1,
+        # worst case: every benched query self-flags as suspect
+        "suspect": sorted(queries),
     }, separators=(",", ":"))
     assert len(line) <= 1800, (
         f"final bench line would be {len(line)} chars; trim the bench "
