@@ -91,10 +91,11 @@ def pack_greedy_bfd(df: DataFrame, id_col: str, size_col: str,
     lowest-id tie rule).  r3's linear scan was O(n·B) — at the
     documented 10⁵-rows-per-shard sizing with ~10⁴ bins that was ~10⁹
     Python comparisons in one task; the ordered set makes the stated
-    sizing actually hold (VERDICT r3 #4).  Iterative/stateful →
-    registered rows-only per the driver contract, with the packing
-    invariants (capacity, exactly-once, determinism, oversize
-    isolation) asserted in pytest.
+    sizing actually hold (VERDICT r3 #4).  The placement is sequential
+    and not SQL-expressible, but its INVARIANTS are: the
+    corpus_greedy_packing driver row emits capacity / exactly-once /
+    fill-consistency / oversize-isolation flags the oracle asserts as
+    literal 1 (r5); determinism and the BFD shape stay pytest-pinned.
     """
     import pandas as pd
 

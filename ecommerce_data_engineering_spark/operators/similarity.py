@@ -278,9 +278,10 @@ def kmeans_refine(df: DataFrame, centroids: DataFrame,
     two runs produce identical centroids (pinned in tests).
 
     An empty cell keeps its previous centroid (standard Lloyd's
-    fallback; k never shrinks).  Iterative → registered rows-only per
-    the driver contract, with the k-means invariants (WCSS monotone
-    non-increasing, determinism) asserted in pytest instead.
+    fallback; k never shrinks).  Iterative, so the placement is not
+    SQL-expressible — the embedding_ivf_kmeans driver row verifies the
+    WCSS-monotone invariant via per-iteration flags (r5); determinism
+    is asserted in pytest.
     """
     cur = centroids.select("cluster_id", F.col(vec_col))
     for _ in range(n_iter):

@@ -190,28 +190,76 @@ def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count_if("spills").alias("n_spills")))
 
 
-# rows-only: greedy whole-doc packing is sequential (each placement
-# depends on every previous one) — not SQL-expressible, same contract
-# as the iterative k-means row; the capacity / exactly-once /
-# determinism / oversize-isolation invariants are pytest-asserted
-# (tests/test_operators.py) instead.
-@query("corpus_greedy_packing", oracle=None, covers=("EXT-curation",))
+@query(
+    "corpus_greedy_packing",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))
+               AS n_tokens,
+             {PK.sql_shard_of('doc_id', PACK_SHARDS, PACK_SEED)} AS shard
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           count(*) FILTER (WHERE n_tokens > {PACK_BUDGET}) AS n_oversized,
+           CAST(1 AS INT) AS capacity_ok,
+           CAST(1 AS INT) AS exactly_once,
+           CAST(1 AS INT) AS fill_consistent,
+           CAST(1 AS INT) AS oversized_isolated
+    FROM toks GROUP BY shard
+    """,
+    covers=("EXT-curation",),
+)
 def corpus_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document best-fit-decreasing packing (budget 2048, 8 hash
-    shards) — the no-split regime for SFT/eval samples: per-shard bin
-    count, document count, token mass, waste (unused budget across
-    closed bins), and oversized-document count."""
+    shards) — the no-split regime for SFT/eval samples: per-shard
+    document count, token mass, and oversized-document count.
+
+    Verification contract (r5, the ``approx_distinct_users`` pattern —
+    VERDICT r4 #3): the greedy placement itself is sequential and not
+    SQL-expressible, so the packing INVARIANTS are emitted as
+    Spark-computed flags the oracle asserts as literal 1:
+    ``capacity_ok`` (every non-oversized bin's fill ≤ budget),
+    ``exactly_once`` (no document placed twice; drops surface through
+    the exact n_docs/shard_tokens columns), ``fill_consistent``
+    (each bin's recorded fill equals the token sum of its contents),
+    and ``oversized_isolated`` (every oversized doc sits alone in its
+    bin).  Any violated invariant flips a flag and fails the driver
+    hash-compare.  Bin COUNT (a best-fit-decreasing outcome, not an
+    invariant) stays out of the output; determinism and BFD shape are
+    pinned in tests/test_operators.py."""
     docs = load(spark, sf_dir, "documents")
     n_tokens = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
     toks = docs.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
     packed = PK.pack_greedy_bfd(toks, "doc_id", "n_tokens", PACK_BUDGET,
                                 num_shards=PACK_SHARDS, seed=PACK_SEED)
-    return (packed.groupBy("shard")
-            .agg(F.countDistinct("bin_id").alias("n_bins"),
-                 F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_tokens").alias("shard_tokens"),
-                 F.count_if("oversized").alias("n_oversized")))
+    per_bin = (packed.groupBy("shard", "bin_id")
+               .agg(F.sum("n_tokens").alias("_bt"),
+                    F.min("bin_fill").alias("_fmin"),
+                    F.max("bin_fill").alias("_fmax"),
+                    F.max(F.col("oversized").cast("int")).alias("_ov"),
+                    F.count(F.lit(1)).alias("_docs")))
+    bin_flags = (per_bin.groupBy("shard").agg(
+        F.min(F.when((F.col("_ov") == 1)
+                     | (F.col("_fmax") <= F.lit(PACK_BUDGET)), 1)
+              .otherwise(0)).alias("capacity_ok"),
+        F.min(F.when((F.col("_bt") == F.col("_fmin"))
+                     & (F.col("_fmin") == F.col("_fmax")), 1)
+              .otherwise(0)).alias("fill_consistent"),
+        F.min(F.when((F.col("_ov") == 0) | (F.col("_docs") == 1), 1)
+              .otherwise(0)).alias("oversized_isolated")))
+    doc_agg = (packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.count_if("oversized").alias("n_oversized"),
+        (F.count(F.lit(1)) == F.countDistinct("doc_id")).cast("int")
+        .alias("exactly_once")))
+    return (doc_agg.join(bin_flags, "shard")
+            .select("shard", "n_docs", "shard_tokens", "n_oversized",
+                    "capacity_ok", "exactly_once", "fill_consistent",
+                    "oversized_isolated"))
 
 
 @query(

@@ -1224,32 +1224,52 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.int8_quantize_stats(emb, "embedding", "vec_id")
 
 
-@query("embedding_ivf_kmeans", oracle=None, covers=("EXT-similarity",))
+@query(
+    "embedding_ivf_kmeans",
+    oracle="""
+    SELECT CAST(i AS INT) AS iteration,
+           CAST(1 AS INT) AS wcss_non_increasing,
+           (SELECT count(*) FROM embeddings) AS n_vectors
+    FROM (SELECT unnest(generate_series(1, 3)) AS i)
+    """,
+    covers=("EXT-similarity",),
+)
 def embedding_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the IVF coarse quantizer: 3 Lloyd's iterations from the
-    deterministic seed centroids (operators/similarity.kmeans_refine),
-    reporting each refined cell's population and centroid norm.
-    Iterative algorithm → rows-only driver check per contract; the
-    k-means invariants (WCSS monotone non-increasing over iterations,
-    run-to-run determinism) are pinned in tests/test_operators.py."""
-    from ..operators.similarity import ivf_assign, kmeans_refine
+    deterministic seed centroids (operators/similarity.kmeans_refine).
+
+    Verification contract (r5, the ``approx_distinct_users`` pattern —
+    VERDICT r4 #3): the iteration itself is not SQL-expressible, but
+    Lloyd's invariant IS checkable: WCSS is monotone non-increasing.
+    Emit one row per iteration with a Spark-computed
+    ``wcss_non_increasing`` flag (WCSS(i) ≤ WCSS(i−1) up to float-sum
+    slack) plus the exact corpus count; the oracle asserts literal 1
+    per iteration.  A diverging refinement flips a flag and fails the
+    driver hash-compare — the row verifies the algorithm's contract
+    instead of merely running it.  Cell populations / centroid norms
+    (training OUTCOMES, not invariants) stay pytest-pinned
+    (tests/test_operators.py, incl. run-to-run determinism).  The
+    per-iteration WCSS probes are O(k·d) driver state each, same
+    budget as kmeans_refine's own driver hop."""
+    from ..operators.similarity import kmeans_refine, kmeans_wcss
 
     emb = load(spark, sf_dir, "embeddings")
     seeds = (emb.filter((F.col("vec_id") % IVF_SEED_STEP == 0)
                         & (F.col("vec_id") < IVF_K * IVF_SEED_STEP))
              .select((F.col("vec_id") / IVF_SEED_STEP).cast("int")
                      .alias("cluster_id"), "embedding"))
-    trained = kmeans_refine(emb, seeds, n_iter=3)
-    assigned = ivf_assign(emb, trained)
-    norm = F.aggregate(
-        F.zip_with(F.col("embedding"), F.col("embedding"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    sizes = assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"))
-    cent = trained.select("cluster_id",
-                          pround(F.sqrt(norm), 6).alias("centroid_norm"))
-    return sizes.join(cent, "cluster_id")
+    wcss = [kmeans_wcss(emb, seeds)]
+    cur = seeds
+    for _ in range(3):
+        cur = kmeans_refine(emb, cur, n_iter=1)
+        wcss.append(kmeans_wcss(emb, cur))
+    flags = spark.createDataFrame(
+        [(i, int(wcss[i] <= wcss[i - 1] * (1 + 1e-9) + 1e-6))
+         for i in (1, 2, 3)],
+        "iteration int, wcss_non_increasing int")
+    total = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return flags.crossJoin(total).select(
+        "iteration", "wcss_non_increasing", "n_vectors")
 
 
 def _pii_oracle() -> str:

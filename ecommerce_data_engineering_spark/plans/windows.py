@@ -200,8 +200,16 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "order_value_percentiles_approx",
-    oracle=None,   # sketch is approximate by design → rows-only;
-    # test_properties.py asserts the rank-error guarantee vs exact ranks
+    oracle="""
+    SELECT o_orderstatus AS order_status,
+           floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100
+             AS median_value,
+           floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100
+             AS p90_value,
+           count(*) AS n_orders,
+           CAST(1 AS INT) AS within_rank_eps
+    FROM orders GROUP BY o_orderstatus
+    """,
     covers=("EXT-percentile", "EXT-approx"),
 )
 def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) \
@@ -211,17 +219,62 @@ def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) \
     ``percentile`` materializes every group's full value set on one
     reducer, while the sketch is one pass, bounded memory
     (O(1/ε·log εN) per group), and merges associatively across
-    partitions.  accuracy=10000 → rank error ε ≤ 1/10000; pytest pins
-    the guarantee: each approximate quantile lies between the exact
-    (q−ε) and (q+ε) quantiles on every fixture."""
+    partitions.
+
+    Verification contract (r5, the ``approx_distinct_users`` pattern —
+    VERDICT r4 #3): accuracy=10000 → GK rank error ε ≤ 1/10000.  Emit
+    the EXACT interpolated percentiles plus a Spark-computed
+    ``within_rank_eps`` flag measuring the guarantee GK actually
+    states — the sketch's returned value, being a real data element,
+    must occupy a RANK within ε·n of the target rank.  A second pass
+    counts elements strictly-below / at-or-below each sketch value
+    (its exact rank interval) and checks that interval intersects
+    [q·n − ε·n − 2, q·n + ε·n + 2] (±2 ranks of slack for the
+    engine's target-rank rounding; value-band checks against
+    interpolated quantiles are knife-edged for small groups where
+    ε·n < 1 rank).  The oracle computes the exact values and literal
+    1, so a sketch breaching its bound fails the driver hash-compare.
+    The raw estimates stay out of the output (sketch internals are
+    not cross-engine stable).  An exact-rank pytest twin lives at
+    tests/test_properties.py."""
     o = load(spark, sf_dir, "orders")
-    acc = F.lit(10_000)
-    return (o.groupBy(F.col("o_orderstatus").alias("order_status"))
-            .agg(pround(F.percentile_approx("o_totalprice", F.lit(0.5), acc),
-                        2).alias("median_value"),
-                 pround(F.percentile_approx("o_totalprice", F.lit(0.9), acc),
-                        2).alias("p90_value"),
-                 F.count(F.lit(1)).alias("n_orders")))
+    acc, eps = F.lit(10_000), 1.0 / 10_000
+    status = F.col("o_orderstatus").alias("order_status")
+    approx = (o.groupBy(status)
+              .agg(F.percentile_approx(
+                  "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), acc)
+                  .alias("_a")))
+    ranks = (o.join(F.broadcast(approx),
+                    F.col("o_orderstatus") == approx["order_status"])
+             .groupBy("order_status")
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  *[f
+                    for i, q in ((0, "50"), (1, "90"))
+                    for f in (
+                        F.count_if(F.col("o_totalprice") < F.col("_a")[i])
+                        .alias(f"_lt{q}"),
+                        F.count_if(F.col("o_totalprice") <= F.col("_a")[i])
+                        .alias(f"_le{q}"))]))
+
+    def _ok(q: float, lt: str, le: str):
+        target = F.lit(q) * F.col("_n")
+        slack = F.lit(eps) * F.col("_n") + F.lit(2.0)
+        return ((F.col(lt) + 1 <= target + slack)
+                & (F.col(le) >= target - slack))
+
+    within = F.coalesce(
+        (_ok(0.5, "_lt50", "_le50") & _ok(0.9, "_lt90", "_le90"))
+        .cast("int"), F.lit(0))
+    exact = (o.groupBy(status)
+             .agg(pround(F.percentile("o_totalprice", 0.5), 2)
+                  .alias("median_value"),
+                  pround(F.percentile("o_totalprice", 0.9), 2)
+                  .alias("p90_value"),
+                  F.count(F.lit(1)).alias("n_orders")))
+    flags = ranks.select("order_status", within.alias("within_rank_eps"))
+    return exact.join(F.broadcast(flags), "order_status").select(
+        "order_status", "median_value", "p90_value", "n_orders",
+        "within_rank_eps")
 
 
 @query(

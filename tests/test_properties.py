@@ -276,12 +276,13 @@ def test_approx_distinct_users_error_bound(spark, sf):
                                 "/root/testdata/sf0.01",
                                 "/root/testdata/sf0.1"])
 def test_approx_percentiles_rank_error_bound(spark, sf):
-    """Quantitative backing for the rows-only
-    order_value_percentiles_approx driver row: with accuracy=10000 the
-    sketch guarantees rank error ε ≤ 1/10000, i.e. each reported
-    quantile q must lie between the EXACT (q−ε) and (q+ε) quantiles —
-    checked per status on every fixture scale, plus the row-count
-    companion column exactly."""
+    """Quantitative backing for the order_value_percentiles_approx
+    driver row (r5: the row now emits EXACT percentiles plus a
+    Spark-computed ``within_rank_eps`` flag): (a) the flag is 1 on
+    every fixture scale; (b) independently of the query, the raw
+    percentile_approx sketch values satisfy the GK rank guarantee —
+    with accuracy=10000 each returned value's rank interval must
+    overlap [(q−ε)·N − 1, (q+ε)·N + 1]."""
     import os
 
     from pyspark.sql import functions as F
@@ -292,24 +293,29 @@ def test_approx_percentiles_rank_error_bound(spark, sf):
     if not os.path.isdir(sf):
         pytest.skip(f"{sf} not generated this round")
     eps = 1.0 / 10_000
-    approx = {r.order_status: r for r in
-              REGISTRY["order_value_percentiles_approx"]
-              .fn(spark, sf).collect()}
+    out = {r.order_status: r for r in
+           REGISTRY["order_value_percentiles_approx"]
+           .fn(spark, sf).collect()}
+    assert len(out) > 0
+    assert all(r.within_rank_eps == 1 for r in out.values()), out
+
     o = load(spark, sf, "orders")
-    counts = {}
+    approx = {r.order_status: r for r in
+              o.groupBy(F.col("o_orderstatus").alias("order_status"))
+              .agg(F.percentile_approx("o_totalprice", F.lit(0.5),
+                                       F.lit(10_000)).alias("a50"),
+                   F.percentile_approx("o_totalprice", F.lit(0.9),
+                                       F.lit(10_000)).alias("a90"))
+              .collect()}
     for status, a in approx.items():
-        counts[status] = (
-            o.filter(F.col("o_orderstatus") == status)
-            .agg(F.count(F.lit(1)).alias("n"),
-                 *[F.count_if(F.col("o_totalprice") <= v + 1e-6).alias(f"le{n}")
-                   for v, n in ((a.median_value, 50), (a.p90_value, 90))],
-                 *[F.count_if(F.col("o_totalprice") < v - 1e-6).alias(f"lt{n}")
-                   for v, n in ((a.median_value, 50), (a.p90_value, 90))])
-            .collect()[0])
-    assert len(approx) > 0
-    for status, c in counts.items():
-        a = approx[status]
-        assert a.n_orders == c.n
+        c = (o.filter(F.col("o_orderstatus") == status)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  *[F.count_if(F.col("o_totalprice") <= v).alias(f"le{n}")
+                    for v, n in ((a.a50, 50), (a.a90, 90))],
+                  *[F.count_if(F.col("o_totalprice") < v).alias(f"lt{n}")
+                    for v, n in ((a.a50, 50), (a.a90, 90))])
+             .collect()[0])
+        assert out[status].n_orders == c.n
         # rank guarantee: the returned value's rank interval [n_lt, n_le]
         # must overlap [(q−ε)·N − 1, (q+ε)·N + 1] for each quantile q
         for q, le, lt in ((0.5, c.le50, c.lt50), (0.9, c.le90, c.lt90)):
