@@ -8,6 +8,15 @@ much less than 10x wall clock (the plans are shuffle-light and
 pushdown-friendly); a query whose ratio approaches the data ratio has
 a scan- or shuffle-bound stage worth inspecting with .explain before
 it meets real data.  Results are recorded in SCALE.md.
+
+Optional args remap an sf label to a different directory, e.g.
+
+    python scripts/bench_scaling.py 0.1=/tmp/sf0.1_rg8
+
+to measure the 0.01→0.1 step against the multi-row-group copy from
+``make_rowgrouped_fixture.py`` (r4 VERDICT #5: the stock sf0.1
+fixtures are single-row-group, so scan-bound queries decode on one
+core and the ratio conflates plan cost with single-thread decode).
 """
 
 from __future__ import annotations
@@ -28,11 +37,12 @@ N = 3
 
 
 def main() -> None:
+    overrides = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     spark = get_spark("bench_scaling")
     names = [n for n, s in REGISTRY.items() if s.bench]
     out: dict[str, dict[str, float]] = {}
     for sf in SFS:
-        sf_dir = f"/root/testdata/sf{sf}"
+        sf_dir = overrides.get(sf, f"/root/testdata/sf{sf}")
         times: dict[str, float] = {}
         for name in names:
             fn = REGISTRY[name].fn
