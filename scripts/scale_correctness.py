@@ -19,6 +19,7 @@ excluded.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -67,7 +68,8 @@ def main() -> None:
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    fails, skipped, n_ok = [], [], 0
+    fails, skipped, n_ok, secs = [], [], 0, {}
+    failed_names = []
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None:
             continue
@@ -83,8 +85,10 @@ def main() -> None:
         except Exception as ex:                       # noqa: BLE001
             errs = [f"{name}: {type(ex).__name__}: {ex}"]
         dt = time.time() - t0
+        secs[name] = round(dt, 1)
         if errs:
             fails += errs
+            failed_names.append(name)
             print(f"FAIL {name} ({dt:.1f}s): {errs[0][:160]}", flush=True)
         else:
             n_ok += 1
@@ -92,6 +96,19 @@ def main() -> None:
     print(f"\n{n_ok} ok, {len(fails)} failed, "
           f"{len(skipped)} skipped (quadratic single-node oracle): "
           f"{sorted(skipped)}")
+    # Machine artifact (r4 VERDICT #8): the verify recipe asserts
+    # SCALE.md's recorded count against the LAST RUN, so the record
+    # can't silently go stale while the unit/oracle suites stay green.
+    # Full runs only — an --only spot check must not overwrite the
+    # full-sweep evidence.
+    if only is None:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(here, "SCALE_SWEEP.json"), "w") as f:
+            json.dump({"fixture": sf_dir, "all": include_all,
+                       "n_ok": n_ok, "n_failed": len(failed_names),
+                       "failed": sorted(failed_names),
+                       "skipped": sorted(skipped),
+                       "seconds": secs}, f, indent=1)
     sys.exit(1 if fails else 0)
 
 
