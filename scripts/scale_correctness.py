@@ -6,15 +6,15 @@ an arbitrary fixture directory (e.g. the synthetic 4×-sf0.1 corpus from
     python scripts/scale_correctness.py /tmp/sf_synth
 
 This is the evidence that nothing diverges with SCALE (ties, caps,
-overflow, hash-bucket boundaries) rather than with data shape.  A few
-pair-emitting queries are excluded by default — not because the ENGINE
-can't run them, but because the synthetic fixture's 4× exact-duplicate
-density inflates all-pairs volume ~16× over any real corpus, making
-the single-node oracle (exhaustive Jaccard, exact all-pairs cosine,
-recursive-CTE closure) the bottleneck; pass --all to include them.
-Measured 2026-08-14 at 4×sf0.1 (2.4M lineitem / 600k orders / 20k
-docs / 8k vectors): 105 of 111 oracled queries ok, 0 failed, 6
-excluded.
+overflow, hash-bucket boundaries) rather than with data shape.  The
+pair-emitting dedup queries are excluded by DEFAULT purely for
+turnaround: their ORACLES are deliberately single-node quadratic
+(exhaustive Jaccard, exact all-pairs cosine, recursive-CTE closure) —
+~10-15 min each at 4×sf0.1 even on the r4 perturbed fixture (which
+keeps cross-copy duplicate density linear: injective per-copy word
+map + orthogonal embedding shift, see make_scaled_fixture.py).  Pass
+--all for the full record; the authoritative result lands in
+SCALE_SWEEP.json and is quoted in SCALE.md.
 """
 
 from __future__ import annotations
@@ -32,11 +32,10 @@ sys.path.insert(0, os.path.join(
 # the Spark side of each has a bucketed/blocked plan, the DuckDB twin
 # does not (by construction: the oracle states semantics, not strategy)
 QUADRATIC_ORACLES = {
-    # pair-EMITTING operators: the synthetic fixture gives every doc 4
-    # exact copies, so all-pairs volume inflates ~16x vs a real corpus
-    # (where duplicates are a few percent) and the single-node oracle
-    # (or the pair materialization itself) dominates the sweep.  All
-    # six remain hash-verified at sf0.1 by the standard suite.
+    # pair-EMITTING operators whose single-node DuckDB oracles are
+    # exhaustive by construction (the oracle states semantics, not
+    # strategy) — the slow tail of a full sweep, skipped by default
+    # for turnaround and included via --all for the record.
     "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_clusters",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_clusters",
