@@ -145,14 +145,30 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP (year, quarter) — subtotals + grand total in one pass
-    (Spark Expand operator; NULL markers match ANSI)."""
+    """ROLLUP (year, quarter) — subtotals + grand total (NULL markers
+    match ANSI).
+
+    r5: pre-aggregate at the finest (year, quarter) grain FIRST, then
+    ROLLUP over the tiny aggregate.  A direct ``o.rollup(...)`` puts
+    Spark's Expand operator on the FACT side — every order row is
+    emitted 3× (detail / year subtotal / grand total) before the
+    partial aggregate, which tripled the per-row cost and made this
+    the worst scaling ratio in the r5 parallel-decode table (2.5× per
+    10× data).  Decimal sums are associative, so summing the per-grain
+    exact sums is bit-identical to summing the rows; Expand now runs
+    over |year×quarter| rows (~30) instead of |orders|, and the only
+    fact-side work is one ordinary map-side-combined groupBy — the
+    rewrite that matters at 100 TB, where 3× the fact rows through
+    Expand is 3× the scan-side CPU."""
     o = load(spark, sf_dir, "orders")
-    return (o.rollup(F.year("o_orderdate").alias("order_year"),
-                     F.quarter("o_orderdate").alias("order_quarter"))
-            .agg(pround(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-                        .cast("double"), 2).alias("revenue"),
-                 F.count(F.lit(1)).alias("n_orders")))
+    grain = (o.groupBy(F.year("o_orderdate").alias("order_year"),
+                       F.quarter("o_orderdate").alias("order_quarter"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .alias("_rev"),
+                  F.count(F.lit(1)).alias("_n")))
+    return (grain.rollup("order_year", "order_quarter")
+            .agg(pround(F.sum("_rev").cast("double"), 2).alias("revenue"),
+                 F.sum("_n").alias("n_orders")))
 
 
 @query(
