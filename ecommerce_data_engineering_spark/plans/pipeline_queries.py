@@ -9,7 +9,7 @@ the structural invariants are asserted in tests/test_pipeline.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..pipeline import run_pipeline
 from ..sources.synthetic import generate_ecommerce
@@ -77,28 +77,135 @@ def pipeline_dim_customers_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tables(spark)["dim_customers"]
 
 
-# Why the two money-bearing pipeline tables stay rows-only: the
-# synthetic generator mirrors the reference's float math with
-# double→decimal casts (tax = (subtotal−discount)·0.15 cast to
-# DECIMAL(10,2)), and that cast's rounding is ENGINE-DEFINED on
+# Why the two money-bearing pipeline tables CANNOT value-hash their
+# money columns: the synthetic generator mirrors the reference's float
+# math with double→decimal casts (tax = (subtotal−discount)·0.15 cast
+# to DECIMAL(10,2)), and that cast's rounding is ENGINE-DEFINED on
 # knife-edge doubles — measured: Spark rounds the shortest decimal
 # representation half-up (143.92499999999998 → 143.92), DuckDB yields
 # 143.93 on the identical double.  No portable SQL expresses "Spark's
-# cast", so a value-hash oracle would be chasing cast internals, not
-# pipeline correctness; the money columns are instead covered by
-# test_pipeline's invariants and by the fixture-table analytics
-# queries, whose money math is decimal-exact end-to-end by design.
-# (pipeline_dim_customers_scd2 has no money column — hence its full
-# closed-form oracle above.)
-@query("pipeline_customer_metrics", oracle=None, covers=("A1", "S8"))
+# cast".  r5 contract (the approx_distinct_users pattern, VERDICT r4
+# #3): the money columns leave the OUTPUT and become Spark-computed
+# exact-equality flags against an independent recompute — the
+# generator is a pure function of the row id, so regenerating the
+# source and aggregating it DIRECTLY (no staging, no SCD2 join, no
+# surrogate keys, no fact build) must reproduce the pipeline's sums
+# bit-for-bit inside Spark, where both sides share one cast
+# semantics.  A pipeline stage that dropped/duplicated a row or
+# corrupted a money value flips the flag and fails the driver
+# hash-compare.  Every non-money column keeps a full closed-form
+# generate_series oracle, like the SCD2 dim above.
+@query(
+    "pipeline_customer_metrics",
+    # scale=0.05 → 125 customers (ids 0..124), 600 orders (ids
+    # 0..599), order j belongs to customer (j*31)%125 on date
+    # 2024-07-08 − (j%365); pipeline as_of = 2024-07-09.  Every
+    # customer has ≥1 order (31 ⊥ 125 and 600 ≥ 125), so no
+    # 'No Orders' tier appears; the CASE still mirrors it.
+    oracle="""
+    WITH o AS (
+      SELECT CAST(j AS BIGINT) AS j,
+             (j * 31) % 125 AS c,
+             DATE '2024-07-08' - CAST(j % 365 AS INT) AS order_date
+      FROM generate_series(0, 599) t(j)
+    ), agg AS (
+      SELECT c, count(*) AS total_orders,
+             min(order_date) AS first_order_date,
+             max(order_date) AS last_order_date
+      FROM o GROUP BY c
+    )
+    SELECT printf('CUST_%06d', i) AS customer_id,
+           COALESCE(CASE WHEN i % 97 = 0 THEN NULL
+                         WHEN i % 10 < 2 THEN 'Premium'
+                         WHEN i % 10 < 8 THEN 'Regular'
+                         ELSE 'Budget' END, 'Unknown') AS customer_segment,
+           COALESCE(total_orders, 0) AS total_orders,
+           first_order_date, last_order_date,
+           CAST(datediff('day', last_order_date, DATE '2024-07-09')
+                AS INT) AS days_since_last_order,
+           CASE WHEN last_order_date IS NULL THEN 'No Orders'
+                WHEN datediff('day', last_order_date, DATE '2024-07-09')
+                     > 365 THEN 'High'
+                WHEN datediff('day', last_order_date, DATE '2024-07-09')
+                     > 180 THEN 'Medium'
+                ELSE 'Low' END AS churn_risk,
+           CAST(1 AS INT) AS ltv_matches_source,
+           CAST(1 AS INT) AS aov_matches_source
+    FROM (SELECT CAST(i AS BIGINT) AS i
+          FROM generate_series(0, 124) t(i)) g
+    LEFT JOIN agg ON agg.c = g.i
+    """,
+    covers=("A1", "S8"))
 def pipeline_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """analytics.customer_metrics out of the end-to-end pipeline with
-    DECIMAL money preserved (the reference's own schema, not the
-    fixture mapping)."""
-    return _tables(spark)["customer_metrics"]
+    DECIMAL money preserved internally (the reference's own schema).
+    Output per the r5 contract: closed-form-verifiable columns plus
+    ``ltv_matches_source`` / ``aov_matches_source`` — Spark-computed
+    exact decimal equality of the pipeline's lifetime_value /
+    avg_order_value against a direct aggregate of the regenerated
+    source orders (see module comment)."""
+    t = _tables(spark)["customer_metrics"]
+    src = generate_ecommerce(spark, scale=0.05)["orders"]
+    ref = (src.groupBy("customer_id")
+           .agg(F.sum("total_amount").alias("_ltv"),
+                F.avg("total_amount").alias("_aov")))
+    j = t.join(ref, "customer_id", "left")
+    ltv_ok = F.coalesce(
+        F.col("lifetime_value").eqNullSafe(
+            F.coalesce(F.col("_ltv"),
+                       F.lit(0).cast("decimal(12,2)"))).cast("int"),
+        F.lit(0))
+    aov_ok = F.coalesce(
+        F.col("avg_order_value").eqNullSafe(
+            F.coalesce(F.col("_aov"),
+                       F.lit(0).cast("decimal(12,2)"))).cast("int"),
+        F.lit(0))
+    return j.select("customer_id", "customer_segment", "total_orders",
+                    "first_order_date", "last_order_date",
+                    "days_since_last_order", "churn_risk",
+                    ltv_ok.alias("ltv_matches_source"),
+                    aov_ok.alias("aov_matches_source"))
 
 
-@query("pipeline_daily_sales", oracle=None, covers=("A1", "S8"))
+@query(
+    "pipeline_daily_sales",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(j AS BIGINT) AS j,
+             (j * 31) % 125 AS c,
+             DATE '2024-07-08' - CAST(j % 365 AS INT) AS sales_date
+      FROM generate_series(0, 599) t(j)
+    )
+    SELECT sales_date,
+           count(*) AS total_orders,
+           CAST(count(DISTINCT c) AS BIGINT) AS unique_customers,
+           CAST(0 AS INT) AS new_customers,
+           CAST(1 AS INT) AS revenue_matches_source,
+           CAST(1 AS INT) AS aov_matches_source
+    FROM o GROUP BY sales_date
+    """,
+    covers=("A1", "S8"))
 def pipeline_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """analytics.daily_sales out of the end-to-end pipeline."""
-    return _tables(spark)["daily_sales"]
+    """analytics.daily_sales out of the end-to-end pipeline.  Output
+    per the r5 contract: closed-form-verifiable columns plus
+    ``revenue_matches_source`` / ``aov_matches_source`` exact-equality
+    flags against the regenerated-source aggregate (see module
+    comment).  total_orders is the pipeline's countDistinct(order_id);
+    the oracle's count(*) is the same number because order ids are
+    unique by construction."""
+    t = _tables(spark)["daily_sales"]
+    src = generate_ecommerce(spark, scale=0.05)["orders"]
+    ref = (src.groupBy(F.col("order_date").alias("sales_date"))
+           .agg(F.sum("total_amount").alias("_rev"),
+                F.avg("total_amount").alias("_aov")))
+    j = t.join(ref, "sales_date", "left")
+    rev_ok = F.coalesce(
+        F.col("total_revenue").eqNullSafe(F.col("_rev")).cast("int"),
+        F.lit(0))
+    aov_ok = F.coalesce(
+        F.col("avg_order_value").eqNullSafe(F.col("_aov")).cast("int"),
+        F.lit(0))
+    return j.select("sales_date", "total_orders", "unique_customers",
+                    "new_customers",
+                    rev_ok.alias("revenue_matches_source"),
+                    aov_ok.alias("aov_matches_source"))
