@@ -14,7 +14,7 @@ KEY = ["pricing_summary", "revenue_by_nation", "top_products",
        "corpus_curation_funnel", "corpus_decontaminate",
        "corpus_mix_rebalance", "corpus_chunk_dedup",
        "snapshot_cdc_diff", "cdc_incremental_metrics",
-       "dedup_jaccard_prefix"]
+       "dedup_jaccard_prefix", "revenue_rollup"]
 
 # Plan-shape commentary kept alongside the regenerated plans (the
 # script owns these so re-running never loses them).
@@ -72,6 +72,14 @@ NOTES = {
         "diff's debit/credit deltas) — the fact table appears only in "
         "the diff's one full-outer join, never in the metric fold.  "
         "Measures stay scaled-long through the +/− algebra."),
+    "revenue_rollup": (
+        "ROLLUP runs over the (year, quarter) pre-aggregate, not the "
+        "fact: Expand sits above the grain HashAggregate and touches "
+        "~|year×quarter| rows instead of emitting every order row 3x "
+        "ahead of the partial aggregate (decimal sums are associative, "
+        "so summing per-grain sums is bit-identical).  At 100 TB the "
+        "difference is 3x the scan-side CPU.  Pinned in tests/"
+        "test_physical.py::test_revenue_rollup_expands_aggregate_not_fact."),
     "dedup_jaccard_prefix": (
         "Exact set-similarity via prefix filtering (SSJoin/PPJoin): "
         "document frequency join + per-document window rank, then the "

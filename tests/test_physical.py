@@ -302,6 +302,22 @@ def test_chunk_dedup_shuffles_positions_not_text(spark, sf_dir):
             shuffle_child
 
 
+def test_revenue_rollup_expands_aggregate_not_fact(spark, sf_dir):
+    """ROLLUP must pre-aggregate at the (year, quarter) grain before
+    Expand: a direct rollup over orders puts Expand on the fact side
+    and emits every order row 3x ahead of the partial aggregate — 3x
+    the scan-side CPU at 100 TB (the r5 rewrite this pins).  Exactly
+    one Expand, and a HashAggregate must sit between it and the scan."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    df = REGISTRY["revenue_rollup"].fn(spark, sf_dir)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Expand") == 1, final[:1200]
+    between_expand_and_scan = final.split("Expand", 1)[1].split("Scan")[0]
+    assert "HashAggregate" in between_expand_and_scan, final[:1200]
+
+
 def test_money_bench_aggregates_stay_primitive_long(spark, sf_dir):
     """The scaled-long money path (functions/rounding.lsum) must keep
     decimal arithmetic out of the hot bench aggregates: a regression
