@@ -21,7 +21,7 @@ ranking so results are deterministic and reproducible cross-engine.
 
 from __future__ import annotations
 
-from ..functions.rounding import pround
+from ..functions.rounding import pround, pround_sql
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -100,17 +100,26 @@ def rademacher_weights(num_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def _plane_sign_bit(vec_col: str, ws: list[float], dim: int):
-    """'1'/'0' sign bit of one hyperplane dot product — the ONE
+def _plane_sign_bit_sql(vec_col: str, ws: list[float], dim: int) -> str:
+    """SQL text of one hyperplane sign bit ('1'/'0') — the ONE
     definition both the single-table and multi-table sign-LSH build
     on, so the documented "table 0 reproduces lsh_cosine_topk exactly"
-    recall-dominance property can't silently desynchronize."""
-    arr = F.array(*[F.lit(w) for w in ws])
-    terms = F.aggregate(
-        F.zip_with(F.slice(F.col(vec_col), 1, dim), arr,
-                   lambda x, w: x.cast("double") * w),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return F.when(pround(terms, 9) > 0, F.lit("1")).otherwise(F.lit("0"))
+    recall-dominance property can't silently desynchronize.
+
+    Emitted as SQL TEXT so callers can fold a whole H-plane signature
+    into a single ``F.expr`` parse: the Column-API form (``F.array``
+    of 64 ``F.lit`` weights + ``zip_with``/``aggregate`` lambdas)
+    costs ~130 py4j round-trips per plane in classic mode
+    (``F.lit(list)`` loops element-wise internally), which made plan
+    CONSTRUCTION — not execution — the dominant cost of the sign-LSH
+    bench queries.  The parsed expression tree is identical (the
+    pround comparison uses :func:`pround_sql`, the exact text the
+    oracles run), so the physical plan and results are unchanged."""
+    lits = ",".join(repr(w) + "D" for w in ws)
+    dot = (f"aggregate(zip_with(slice(`{vec_col}`, 1, {dim}),"
+           f" array({lits}), (x, w) -> CAST(x AS DOUBLE) * w),"
+           f" 0.0D, (acc, x) -> acc + x)")
+    return f"CASE WHEN {pround_sql(dot, 9)} > 0 THEN '1' ELSE '0' END"
 
 
 def hyperplane_sign_bits(df: DataFrame, vec_col: str, num_planes: int,
@@ -124,11 +133,12 @@ def hyperplane_sign_bits(df: DataFrame, vec_col: str, num_planes: int,
     literal arrays (:func:`rademacher_weights`), so the per-row work is
     one fused multiply-add over the vector per plane — H·d md5 calls
     per ROW (the naive form, ~384 hashes/row at H=6, d=64) become H·d
-    hashes per QUERY PLAN, computed once on the driver.
+    hashes per QUERY PLAN, computed once on the driver.  The whole
+    signature is ONE ``F.expr`` parse (see :func:`_plane_sign_bit_sql`).
     """
     weights = rademacher_weights(num_planes, dim)
-    return df.withColumn(out_col, F.concat(
-        *[_plane_sign_bit(vec_col, ws, dim) for ws in weights]))
+    sig = ",".join(_plane_sign_bit_sql(vec_col, ws, dim) for ws in weights)
+    return df.withColumn(out_col, F.expr(f"concat({sig})"))
 
 
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
@@ -196,13 +206,15 @@ def lsh_cosine_topk_multitable(corpus: DataFrame, queries: DataFrame,
     """
     weights = rademacher_weights(num_tables * num_planes, dim)
 
-    def bucket_struct(t: int):
-        bits = F.concat(
-            *[_plane_sign_bit(vec_col, weights[t * num_planes + p], dim)
-              for p in range(num_planes)])
-        return F.struct(F.lit(t).alias("table"), bits.alias("bucket"))
+    def bucket_struct_sql(t: int) -> str:
+        bits = ",".join(
+            _plane_sign_bit_sql(vec_col, weights[t * num_planes + p], dim)
+            for p in range(num_planes))
+        return f"named_struct('table', {t}, 'bucket', concat({bits}))"
 
-    tables = F.array(*[bucket_struct(t) for t in range(num_tables)])
+    # the whole L-table signature stack is ONE expression parse
+    tables = F.expr("array(" + ",".join(
+        bucket_struct_sql(t) for t in range(num_tables)) + ")")
 
     def stacked(df: DataFrame, prefix: str) -> DataFrame:
         return (with_norm(df, vec_col)
