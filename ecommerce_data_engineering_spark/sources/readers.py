@@ -15,12 +15,27 @@ reach the scan (check via ``df.explain`` → PushedFilters/ReadSchema).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
 class MissingColumnsError(ValueError):
     """Raised when a source is missing expected columns (DQ check Q1)."""
+
+
+# (applicationId, file path, mtime_ns) -> analyzed fixture DataFrame.
+# ``spark.read.parquet`` re-lists the path and re-reads a footer for
+# schema inference on EVERY call — ~100 ms of per-table JVM work that
+# the 5-way fact builds pay five times per plan construction.  The
+# memo returns the same immutable logical relation (Catalyst still
+# re-optimizes each consuming query from scratch, so this is metadata
+# reuse, not result caching).  Keyed like streaming/source.py's
+# ts-sniff cache (ADVICE r3): applicationId — not id(spark), which
+# recycles — so a new session never inherits a dead JVM's relation,
+# and mtime_ns so a regenerated fixture invalidates its entry.
+_relation_cache: dict[tuple, DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -43,7 +58,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         # runtime-settable; required to scan TIMESTAMP(NANOS) parquet
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{table}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    try:
+        mtime_ns = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime_ns = None
+    key = (spark.sparkContext.applicationId, path, mtime_ns)
+    cached = _relation_cache.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Fixture generations vary: TIMESTAMP(NANOS) (handled above) vs
@@ -54,6 +78,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _relation_cache[key] = df
     return df
 
 

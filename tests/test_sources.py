@@ -500,3 +500,28 @@ def test_clustered_write_file_skipping(spark):
             ks = pq.read_table(os.path.join(path, fname),
                                columns=["k"])["k"].to_pylist()
             assert ks == sorted(ks)
+
+
+def test_load_relation_cache_identity_and_mtime_invalidation(spark):
+    """load() memoizes the analyzed fixture relation per
+    (applicationId, path, mtime_ns) — schema inference and file
+    listing run once per fixture, not once per query construction.
+    A rewritten fixture (new mtime) must yield a FRESH relation that
+    sees the new data; the old entry must never shadow it."""
+    import tempfile
+    import time as _time
+
+    from ecommerce_data_engineering_spark.sources.readers import load
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.range(3).toDF("x").write.mode("overwrite").parquet(
+            os.path.join(d, "t.parquet"))
+        a = load(spark, d, "t")
+        assert load(spark, d, "t") is a          # hit: same relation
+        assert a.count() == 3
+        _time.sleep(0.02)                         # ensure mtime moves
+        spark.range(5).toDF("x").write.mode("overwrite").parquet(
+            os.path.join(d, "t.parquet"))
+        b = load(spark, d, "t")
+        assert b is not a                         # miss: regenerated
+        assert b.count() == 5
