@@ -101,7 +101,10 @@ def main() -> None:
         # the min is the stall-robust floor: min >> median divergence
         # flags residual contamination even after the two-pass min
         floors[name] = round(min(all_samples), 3)
-        mid = sorted(pass_a[name])[(len(pass_a[name]) - 3) // 2:][:3]
+        # noise bar over the SAME population n_samples counts (pass A
+        # + pass B combined): range of the middle three sorted samples
+        # — a lone stall widens n_samples, not the bar
+        mid = sorted(all_samples)[(len(all_samples) - 3) // 2:][:3]
         spread[name] = round(max(mid) - min(mid), 3)
         n_used[name] = len(all_samples)
         # self-flag: if the best pass-median still sits >1.3x above the

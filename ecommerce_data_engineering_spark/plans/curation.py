@@ -235,6 +235,13 @@ def corpus_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
     packed = PK.pack_greedy_bfd(toks, "doc_id", "n_tokens", PACK_BUDGET,
                                 num_shards=PACK_SHARDS, seed=PACK_SEED)
+    # two aggregation branches (per-bin flags + per-doc stats) consume
+    # `packed`; without a barrier Spark re-executes the sequential
+    # Python packing kernel — the dominant cost of this query — once
+    # per branch.  persist (not checkpoint): CacheManager dedups the
+    # identical plan across invocations, same pattern as
+    # dedup.jaccard_verify.
+    packed = packed.persist()
     per_bin = (packed.groupBy("shard", "bin_id")
                .agg(F.sum("n_tokens").alias("_bt"),
                     F.min("bin_fill").alias("_fmin"),

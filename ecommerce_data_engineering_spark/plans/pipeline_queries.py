@@ -18,13 +18,20 @@ from .registry import query
 _CACHE: dict[str, dict[str, DataFrame]] = {}
 
 
+# The ONE pipeline scale: the closed-form oracle constants below (125
+# customers, 600 orders, the 365-date window) are derived from it, and
+# the flag queries regenerate the source at the SAME scale — changing
+# it requires re-deriving those oracle literals in the same edit.
+PIPELINE_SCALE = 0.05
+
+
 def _tables(spark: SparkSession) -> dict[str, DataFrame]:
     # keyed by applicationId, not id(spark): Python id() values can be
     # recycled after GC, which would hand a new session DataFrames bound
     # to a stopped one
     key = spark.sparkContext.applicationId
     if key not in _CACHE:
-        _CACHE[key] = run_pipeline(spark, generate_ecommerce(spark, scale=0.05),
+        _CACHE[key] = run_pipeline(spark, generate_ecommerce(spark, scale=PIPELINE_SCALE),
                                    as_of="2024-07-09")
     return _CACHE[key]
 
@@ -145,7 +152,7 @@ def pipeline_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_order_value against a direct aggregate of the regenerated
     source orders (see module comment)."""
     t = _tables(spark)["customer_metrics"]
-    src = generate_ecommerce(spark, scale=0.05)["orders"]
+    src = generate_ecommerce(spark, scale=PIPELINE_SCALE)["orders"]
     ref = (src.groupBy("customer_id")
            .agg(F.sum("total_amount").alias("_ltv"),
                 F.avg("total_amount").alias("_aov")))
@@ -194,7 +201,7 @@ def pipeline_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's count(*) is the same number because order ids are
     unique by construction."""
     t = _tables(spark)["daily_sales"]
-    src = generate_ecommerce(spark, scale=0.05)["orders"]
+    src = generate_ecommerce(spark, scale=PIPELINE_SCALE)["orders"]
     ref = (src.groupBy(F.col("order_date").alias("sales_date"))
            .agg(F.sum("total_amount").alias("_rev"),
                 F.avg("total_amount").alias("_aov")))

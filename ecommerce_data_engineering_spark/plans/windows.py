@@ -168,7 +168,11 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count(F.lit(1)).alias("_n")))
     return (grain.rollup("order_year", "order_quarter")
             .agg(pround(F.sum("_rev").cast("double"), 2).alias("revenue"),
-                 F.sum("_n").alias("n_orders")))
+                 # coalesce: on an EMPTY orders table the rollup still
+                 # emits one grand-total row where sum(_n) is NULL but
+                 # count(*) — the pre-rewrite form and the oracle —
+                 # is 0; revenue stays NULL on both engines
+                 F.coalesce(F.sum("_n"), F.lit(0)).alias("n_orders")))
 
 
 @query(

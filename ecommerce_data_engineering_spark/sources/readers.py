@@ -25,17 +25,29 @@ class MissingColumnsError(ValueError):
     """Raised when a source is missing expected columns (DQ check Q1)."""
 
 
-# (applicationId, file path, mtime_ns) -> analyzed fixture DataFrame.
-# ``spark.read.parquet`` re-lists the path and re-reads a footer for
-# schema inference on EVERY call — ~100 ms of per-table JVM work that
-# the 5-way fact builds pay five times per plan construction.  The
-# memo returns the same immutable logical relation (Catalyst still
-# re-optimizes each consuming query from scratch, so this is metadata
-# reuse, not result caching).  Keyed like streaming/source.py's
-# ts-sniff cache (ADVICE r3): applicationId — not id(spark), which
-# recycles — so a new session never inherits a dead JVM's relation,
-# and mtime_ns so a regenerated fixture invalidates its entry.
-_relation_cache: dict[tuple, DataFrame] = {}
+# Per-SESSION memo of analyzed fixture DataFrames, keyed by
+# (file path, mtime_ns).  ``spark.read.parquet`` re-lists the path and
+# re-reads a footer for schema inference on EVERY call — ~100 ms of
+# per-table JVM work that the 5-way fact builds pay five times per
+# plan construction.  The memo returns the same immutable logical
+# relation (Catalyst still re-optimizes each consuming query from
+# scratch, so this is metadata reuse, not result caching); mtime_ns
+# invalidates regenerated fixtures.  The dict hangs off the
+# SparkSession OBJECT — not a module global keyed by applicationId —
+# because two sessions can share one application (``newSession()``,
+# or the externally-built driver session) with DIFFERENT SQLConfs: a
+# DataFrame resolves against the session that created it, so sharing
+# across sessions would silently pin the first loader's conf.  Dying
+# with the session object also bounds the cache's lifetime.
+_CACHE_ATTR = "_egraft_relation_cache"
+
+
+def _relation_cache(spark: SparkSession) -> dict:
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _CACHE_ATTR, cache)
+    return cache
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -63,8 +75,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         mtime_ns = os.stat(path).st_mtime_ns
     except OSError:
         mtime_ns = None
-    key = (spark.sparkContext.applicationId, path, mtime_ns)
-    cached = _relation_cache.get(key)
+    cache = _relation_cache(spark)
+    key = (path, mtime_ns)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(path)
@@ -78,7 +91,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
-    _relation_cache[key] = df
+    cache[key] = df
     return df
 
 
