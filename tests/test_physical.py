@@ -331,3 +331,58 @@ def test_money_bench_aggregates_stay_primitive_long(spark, sf_dir):
         plan = _plan(REGISTRY[q].fn(spark, sf_dir))
         assert "CheckOverflow" not in plan and "Decimal" not in plan, (
             q, [l for l in plan.splitlines() if "Decimal" in l][:3])
+
+
+# Structural shuffle budget per bench query: (hash exchanges,
+# broadcast exchanges) counted in the pre-execution adaptive plan
+# text.  A future edit that adds an Exchange — a lost broadcast, an
+# extra groupBy, a misplaced repartition — fails here with the plan,
+# not three rounds later as a bench regression.  dedup_minhash_lsh is
+# excluded: its persist() barriers repeat the cached subtree's text
+# once per consumer, so a textual count overstates runtime shuffles
+# (its shape is pinned by the dedicated tests above instead).
+SHUFFLE_BUDGET = {
+    "campaign_attribution_scalable": (2, 1),
+    "cdc_incremental_metrics": (4, 0),
+    "corpus_chunk_dedup": (2, 2),
+    "corpus_curation_funnel": (2, 1),
+    "corpus_decontaminate": (4, 1),
+    "corpus_gopher_rules": (0, 0),
+    "corpus_sequence_packing": (1, 0),
+    "customer_metrics": (2, 1),
+    "daily_sales": (2, 0),
+    "embedding_ann_lsh": (1, 1),
+    "embedding_cosine_topk": (1, 1),
+    "events_hourly_rollup": (2, 0),
+    "events_sessionization": (1, 0),
+    "fact_lineitem_build": (0, 4),
+    "pricing_summary": (1, 0),
+    "product_metrics": (2, 1),
+    "revenue_by_nation": (2, 4),
+    "revenue_rollup": (2, 0),
+    "snapshot_cdc_diff": (2, 0),
+    "top_products": (2, 1),
+    "top_revenue_orders": (1, 2),
+}
+
+
+def test_bench_queries_hold_their_shuffle_budget(spark, sf_dir):
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    over = {}
+    for name, (n_hash, n_bcast) in SHUFFLE_BUDGET.items():
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        got = (plan.count("Exchange hashpartitioning"),
+               plan.count("BroadcastExchange"))
+        if got != (n_hash, n_bcast):
+            over[name] = {"expected": (n_hash, n_bcast), "got": got}
+        assert "Exchange rangepartitioning" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+    assert not over, over
+
+
+def test_budget_covers_every_non_cached_bench_query(spark):
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    benched = {n for n, s in REGISTRY.items() if s.bench}
+    assert benched - set(SHUFFLE_BUDGET) == {"dedup_minhash_lsh"}
