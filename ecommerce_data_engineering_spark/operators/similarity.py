@@ -328,8 +328,11 @@ def kmeans_wcss(df: DataFrame, centroids: DataFrame,
         F.lit(0.0), lambda acc, x: acc + x)
     cent = centroids.select(F.col("cluster_id"),
                             F.col(vec_col).alias("c_vec_kept"))
-    return (assigned.join(cent, "cluster_id")
-            .select(d2.alias("d2")).agg(F.sum("d2")).collect()[0][0])
+    val = (assigned.join(cent, "cluster_id")
+           .select(d2.alias("d2")).agg(F.sum("d2")).collect()[0][0])
+    # SUM over an empty frame is NULL → None; an empty corpus has WCSS
+    # 0.0 so monotonicity comparisons stay well-typed (ADVICE r5)
+    return 0.0 if val is None else float(val)
 
 
 def int8_quantize_stats(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:

@@ -33,6 +33,14 @@ DRIVER_WINDOW = 50
 
 # One name per line; grouped by tier.  Every §2 id (minus S7) must be
 # covered by the union of `covers` over the first DRIVER_WINDOW names.
+#
+# ROTATION (VERDICT r5 #1, schedule in COVERAGE.md "Driver-window rotation"): coverage-
+# redundant window slots rotate a cohort of never-driver-verified
+# queries through official CORRECTNESS rows each round.  r6 cohort:
+# 12 first-timers in; 12 slots whose §2/EXT ids other window rows
+# already carry moved to the head of tier 10 (they stay bench-measured
+# and locally oracle-diffed — rotation changes which queries get the
+# DRIVER's 50-row budget, nothing else).
 _PRIORITY = [
     # --- tier 1: minimal §2 core cover (staging/dims/facts/analytics) ---
     "clean_customer_strings",        # P1 P2 P7
@@ -42,7 +50,8 @@ _PRIORITY = [
     "dim_time_insert_if_absent",     # M4 F6 J6
     "scd2_customer_merge",           # M1 J5 J9 F5 F8 P17-P19
     "fact_orders_build",             # J1 J4 P12 P13 P20 S5
-    "fact_lineitem_build",           # J2
+    # (fact_lineitem_build → tier 10 in r6: J2 also carried by
+    #  top_revenue_orders; 5 straight green rounds of driver rows)
     "fact_orders_upsert",            # M2
     "customer_metrics",              # A1 A3 A4 A8 J3 P14-P16
     "product_metrics",               # A2 A6 P21
@@ -53,66 +62,80 @@ _PRIORITY = [
     "pricing_summary",               # S1
     "sql_api_revenue_by_status",     # S6
     "customer_set_ops",              # M5
-    "top_revenue_orders",            # F1
+    "top_revenue_orders",            # F1 J2
     "shipmode_priority_buckets",     # F4
     # --- tier 2: promoted pytest-only operators (round-2) ---
     "customer_full_name",            # P6  (concat vs concat_ws NULL semantics)
     "dq_contract",                   # Q1 Q7
     "ingest_refresh_roundtrip",      # S2 S3 S4 M3
-    "pipeline_dim_customers_scd2",   # S8 (rows-only)
-    # --- tier 3: event/streaming twins + as-of + skew ---
-    # (events_sessionization sits past the window since round 3: it
-    # computes the SAME sessions as events_session_window_native, and
-    # the slot buys a driver row for a distinct operator instead)
-    "events_hourly_rollup",
+    "pipeline_dim_customers_scd2",   # S8 (full closed-form oracle)
+    # --- tier 3: event/streaming twins + as-of + skew + CDC ---
+    # (events_sessionization past-window since r3; events_hourly_rollup
+    #  → tier 10 in r6: its A1/A2 are amply covered and the streaming
+    #  twin family keeps events_session_window_native in-window)
     "purchase_click_asof",           # EXT-asof
     "event_user_enrichment",         # EXT-skew
     "events_session_window_native",  # EXT-session
-    # --- tier 4: window/rollup/pivot/sketch extensions ---
+    "snapshot_cdc_diff",             # M2 J6  (r6 first-timer, benched)
+    "cdc_incremental_metrics",       # M2 A1  (r6 first-timer, benched)
+    # --- tier 4: window/rollup/pivot/sketch/json extensions ---
     "rolling_7day_revenue",
     "revenue_rollup",
     "event_type_pivot",
     "approx_distinct_users",
-    # --- tier 5: dedup family (ngram-jaccard / embedding-cosine
-    #     variants sit past the window; the curation funnel below
-    #     re-exercises EXT-dedup inside it) ---
-    "dedup_exact",
+    "order_value_percentiles_approx",  # EXT-percentile (r6 first-timer)
+    "events_json_props",             # P3 EXT-json (r6 first-timer)
+    # --- tier 5: dedup family (exact/simhash-pairs → tier 10 in r6;
+    #     the funnel + chunk-dedup + decontaminate re-exercise
+    #     EXT-dedup inside the window) ---
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
     "dedup_clusters",
-    # --- tier 6: similarity search ---
-    "embedding_cosine_topk",
-    "embedding_ann_lsh",
+    "dedup_jaccard_prefix",          # PPJoin prefix filter (r6 first-timer)
+    "dedup_simhash_fingerprints",    # (r6 first-timer)
+    # --- tier 6: similarity search (cosine_topk/ann_lsh → tier 10 in
+    #     r6 after 3+ green rounds; the multitable/nprobe variants and
+    #     the int8 audit take their driver rows) ---
     "embedding_ann_ivf",
-    # --- tier 7: text analysis (token_counts past-window since r3:
-    #     quality_scores already exercises the tokenizers) ---
-    "text_language_id",
-    "text_quality_scores",
+    "embedding_ann_lsh_multitable",  # (r6 first-timer)
+    "embedding_ann_ivf_nprobe",      # (r6 first-timer)
+    "embedding_int8_quantize",       # EXT-similarity EXT-curation (r6 first-timer)
+    # --- tier 7: text analysis (language_id/quality_scores → tier 10
+    #     in r6; fingerprints gives rolling-hash shingles a first
+    #     driver row, funnel keeps Gopher quality gates in-window) ---
     "text_pii_redaction",            # PII scrub, masked text md5-pinned
-    # --- tier 8: multimodal (real zero-dep codecs; frame_sample
-    #     past-window since r3 — decode covers the family) ---
-    "multimodal_decode",
+    "text_fingerprints",             # rolling-hash doc fingerprints (r6 first-timer)
+    # --- tier 8: multimodal (decode → tier 10 in r6; audio keeps a
+    #     real codec in-window, manifest adds typed-metadata audit) ---
     "multimodal_audio_decode",
-    # --- tier 9: curation (sampling / splits / quality / packing /
-    #     span dedup / decontamination / mixture epochs).  The funnel
-    #     embeds the Gopher gate, so corpus_gopher_rules' standalone
-    #     row moved past the window in favor of distinct operators ---
+    "multimodal_manifest",           # (r6 first-timer)
+    # --- tier 9: curation (split/epoch/packing → tier 10 in r6 —
+    #     EXT-curation stays 5-deep in-window) ---
     "corpus_curation_funnel",        # EXT-curation EXT-dedup EXT-text
-    "corpus_sequence_packing",
-    "corpus_split_assignment",
     "corpus_chunk_dedup",            # C4-style corpus-wide span dedup
     "corpus_decontaminate",          # train/test n-gram overlap guard
-    "corpus_epoch_upsampling",       # fractional per-source repeats
+    "corpus_shard_assignment",       # (r6 first-timer)
     # ---------------- end of driver window (50) ----------------
-    # tier 10: redundant-but-valuable shapes, most valuable first, in
-    # case the verification budget is larger than observed.
+    # tier 10: rotated-out + redundant-but-valuable shapes, most
+    # valuable first, in case the verification budget is larger than
+    # observed.  The r6 rotated-out twelve lead: each has 3-5 rounds
+    # of green driver rows and stays bench-measured + locally diffed.
+    "fact_lineitem_build",
+    "events_hourly_rollup",
+    "dedup_exact",
+    "dedup_simhash_pairs",
+    "embedding_cosine_topk",
+    "embedding_ann_lsh",
+    "text_language_id",
+    "text_quality_scores",
+    "multimodal_decode",
+    "corpus_split_assignment",
+    "corpus_epoch_upsampling",
+    "corpus_sequence_packing",
     "events_sessionization",
     "text_token_counts",
     "multimodal_frame_sample",
     "corpus_gopher_rules",
     "daily_sales",
-    "snapshot_cdc_diff",
-    "cdc_incremental_metrics",
     "scd2_change_detection",
     "customer_acquisition",
     "customer_segmentation",
@@ -121,20 +144,10 @@ _PRIORITY = [
     "event_type_daily_share",
     "month_over_month_delta",
     "order_value_percentiles",
-    "order_value_percentiles_approx",
     "unpivot_monthly_metrics",
     "doc_stats",
-    "multimodal_manifest",
-    "dedup_jaccard_prefix",
-    "dedup_simhash_fingerprints",
-    "corpus_dedup_stats",
-    "corpus_greedy_packing",
-    "corpus_filter_pipeline",
     "dedup_embedding_clusters",
     "embedding_ann_lsh_multiprobe",
-    "embedding_ann_lsh_multitable",
-    "embedding_ann_ivf_nprobe",
-    "events_json_props",
     "events_rollup_cascade",
     "campaign_attribution_scalable",
     # everything else (TPC-H shape library, pipeline twins) follows in

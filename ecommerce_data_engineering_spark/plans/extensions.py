@@ -1250,7 +1250,13 @@ def embedding_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (training OUTCOMES, not invariants) stay pytest-pinned
     (tests/test_operators.py, incl. run-to-run determinism).  The
     per-iteration WCSS probes are O(k·d) driver state each, same
-    budget as kmeans_refine's own driver hop."""
+    budget as kmeans_refine's own driver hop.
+
+    EAGER-CONSTRUCTION EXCEPTION (ADVICE r5): unlike every other
+    registered query, calling this function runs ~8 Spark jobs (the
+    WCSS collects + refine hops) during plan CONSTRUCTION and bakes
+    the flags into createDataFrame — bench/driver timing of this
+    query measures training, not just the returned plan."""
     from ..operators.similarity import kmeans_refine, kmeans_wcss
 
     emb = load(spark, sf_dir, "embeddings")

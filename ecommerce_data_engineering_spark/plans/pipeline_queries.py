@@ -15,7 +15,13 @@ from ..pipeline import run_pipeline
 from ..sources.synthetic import generate_ecommerce
 from .registry import query
 
-_CACHE: dict[str, dict[str, DataFrame]] = {}
+# The pipeline-output memo hangs off the SparkSession OBJECT — the
+# same rationale as sources/readers._relation_cache: two sessions can
+# share one application (``newSession()``, the external driver session)
+# with DIFFERENT SQLConfs, and a DataFrame resolves against the session
+# that created it, so an applicationId-keyed module global would hand
+# session B frames pinned to session A's conf and outlive both.
+_CACHE_ATTR = "_egraft_pipeline_cache"
 
 
 # The ONE pipeline scale: the closed-form oracle constants below (125
@@ -26,14 +32,12 @@ PIPELINE_SCALE = 0.05
 
 
 def _tables(spark: SparkSession) -> dict[str, DataFrame]:
-    # keyed by applicationId, not id(spark): Python id() values can be
-    # recycled after GC, which would hand a new session DataFrames bound
-    # to a stopped one
-    key = spark.sparkContext.applicationId
-    if key not in _CACHE:
-        _CACHE[key] = run_pipeline(spark, generate_ecommerce(spark, scale=PIPELINE_SCALE),
-                                   as_of="2024-07-09")
-    return _CACHE[key]
+    tables = getattr(spark, _CACHE_ATTR, None)
+    if tables is None:
+        tables = run_pipeline(spark, generate_ecommerce(spark, scale=PIPELINE_SCALE),
+                              as_of="2024-07-09")
+        setattr(spark, _CACHE_ATTR, tables)
+    return tables
 
 
 @query(

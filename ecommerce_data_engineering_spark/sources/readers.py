@@ -80,6 +80,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     cached = cache.get(key)
     if cached is not None:
         return cached
+    # miss: evict superseded entries for the same path so repeatedly
+    # regenerating a fixture within one session doesn't grow the memo
+    # without bound or keep stale DataFrames alive (ADVICE r5)
+    for stale in [k for k in cache if k[0] == path]:
+        del cache[stale]
     df = spark.read.parquet(path)
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -194,6 +199,15 @@ def read_csv_quarantine(
         # r4 — header 'word,tag' + data row 'WORD,TAG' must drop
         # 'word,tag' and keep ('WORD','TAG') as data).  The window
         # shuffles only ~n_files rows.
+        # KNOWN LIMITATION (ADVICE r5): the preference inverts in the
+        # mirror corner — real header 'Word,Tag' (a case variant) plus
+        # a DATA row 'word,tag' (byte-exact) drops the data row and
+        # keeps the variant header as data.  The truly correct key is
+        # byte position within the file (a header is line 1), which no
+        # distributed text scan exposes portably; byte-exactness is the
+        # best available heuristic and the double-lookalike corner is a
+        # pathological feed either way — quarantine-counting catches it
+        # downstream.
         exact_cells = F.array(*[probe[f.name] for f in schema.fields])
         exact_names = F.array(*[F.lit(f.name) for f in schema.fields])
         exact = F.coalesce(exact_cells == exact_names, F.lit(False))

@@ -42,14 +42,57 @@ QUADRATIC_ORACLES = {
 }
 
 
+def _usage_abort(msg: str) -> None:
+    sys.stderr.write(
+        f"scale_correctness: {msg}\n"
+        "usage: scale_correctness.py [FIXTURE_DIR] [--all] [--bench] "
+        "[--only NAME[,NAME...]] [--tag=NAME] [--force]\n"
+        "  --all    include the quadratic-oracle pair-emitters\n"
+        "  --bench  restrict to bench-flagged queries (still writes a "
+        "record, marked subset=bench)\n"
+        "  --only   spot-check named queries only (NEVER writes a record)\n"
+        "  --tag    write SCALE_SWEEP_<tag>.json instead of "
+        "SCALE_SWEEP.json (per-fixture records)\n"
+        "  --force  allow overwriting a record made from a DIFFERENT "
+        "fixture dir\n")
+    sys.exit(2)
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/tmp/sf_synth"
-    include_all = "--all" in sys.argv
-    only = None
-    for a in sys.argv[1:]:
-        if a.startswith("--only="):
+    # Strict flag parsing (ADVICE r5): a mistyped/misformatted flag used
+    # to be silently ignored, so '--only name' (space form) ran the FULL
+    # sweep and clobbered the authoritative scale-evidence record.
+    sf_dir, include_all, only, tag, force, bench = None, False, None, None, False, False
+    argv, i = sys.argv[1:], 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--all":
+            include_all = True
+        elif a == "--bench":
+            bench = True
+        elif a == "--force":
+            force = True
+        elif a == "--only":
+            i += 1
+            if i >= len(argv) or argv[i].startswith("--"):
+                _usage_abort("--only needs a query-name argument")
+            only = set(argv[i].split(","))
+        elif a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--tag="):
+            tag = a.split("=", 1)[1]
+            if not tag.isidentifier():
+                _usage_abort(f"bad --tag {tag!r} (want an identifier)")
+        elif a.startswith("-"):
+            _usage_abort(f"unknown flag {a!r}")
+        elif sf_dir is None:
+            sf_dir = a
+        else:
+            _usage_abort(f"unexpected extra positional {a!r}")
+        i += 1
+    sf_dir = sf_dir or "/tmp/sf_synth"
+    if not os.path.isdir(sf_dir):
+        _usage_abort(f"fixture dir {sf_dir!r} does not exist")
 
     from pyspark.sql import SparkSession
 
@@ -74,6 +117,8 @@ def main() -> None:
             continue
         if only is not None and name not in only:
             continue
+        if bench and not spec.bench:
+            continue
         if name in QUADRATIC_ORACLES and not include_all:
             skipped.append(name)
             continue
@@ -96,18 +141,35 @@ def main() -> None:
           f"{len(skipped)} skipped (quadratic single-node oracle): "
           f"{sorted(skipped)}")
     # Machine artifact (r4 VERDICT #8): the verify recipe asserts
-    # SCALE.md's recorded count against the LAST RUN, so the record
-    # can't silently go stale while the unit/oracle suites stay green.
-    # Full runs only — an --only spot check must not overwrite the
-    # full-sweep evidence.
+    # SCALE.md's recorded counts against the LAST RUN of each record, so
+    # the evidence can't silently go stale while the unit/oracle suites
+    # stay green.  --only spot checks never write; since r6 records are
+    # PER-FIXTURE (--tag → SCALE_SWEEP_<tag>.json) and a record made
+    # from a different fixture dir refuses to be overwritten without
+    # --force (ADVICE r5: a mistyped spot-check at a small fixture must
+    # not clobber the authoritative 4x record).
     if only is None:
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(here, "SCALE_SWEEP.json"), "w") as f:
+        rec_name = f"SCALE_SWEEP_{tag}.json" if tag else "SCALE_SWEEP.json"
+        rec_path = os.path.join(here, rec_name)
+        if os.path.exists(rec_path) and not force:
+            with open(rec_path) as f:
+                prev = json.load(f)
+            if prev.get("fixture") != sf_dir:
+                sys.stderr.write(
+                    f"REFUSING to overwrite {rec_name} (records fixture "
+                    f"{prev.get('fixture')!r}, this run used {sf_dir!r}). "
+                    "Use --tag=<name> for a per-fixture record or --force "
+                    "to replace it.\n")
+                sys.exit(2)
+        with open(rec_path, "w") as f:
             json.dump({"fixture": sf_dir, "all": include_all,
+                       "subset": "bench" if bench else "full",
                        "n_ok": n_ok, "n_failed": len(failed_names),
                        "failed": sorted(failed_names),
                        "skipped": sorted(skipped),
                        "seconds": secs}, f, indent=1)
+        print(f"wrote {rec_name}")
     sys.exit(1 if fails else 0)
 
 

@@ -333,24 +333,66 @@ def test_money_bench_aggregates_stay_primitive_long(spark, sf_dir):
             q, [l for l in plan.splitlines() if "Decimal" in l][:3])
 
 
-# Structural shuffle budget per bench query: (hash exchanges,
-# broadcast exchanges) counted in the pre-execution adaptive plan
-# text.  A future edit that adds an Exchange — a lost broadcast, an
-# extra groupBy, a misplaced repartition — fails here with the plan,
-# not three rounds later as a bench regression.  dedup_minhash_lsh is
-# excluded: its persist() barriers repeat the cached subtree's text
-# once per consumer, so a textual count overstates runtime shuffles
-# (its shape is pinned by the dedicated tests above instead).
+def _tree_exchange_counts(df) -> tuple[int, int]:
+    """Count (shuffle, broadcast) Exchange NODES by walking the
+    pre-execution physical plan tree — not the plan TEXT.  The text
+    repeats a persisted subtree once per InMemoryTableScan consumer
+    (dedup_minhash_lsh's persist barrier printed 78 textual hash
+    exchanges for 11 real ones), so node-counting is the honest
+    structural measure (VERDICT r5 #6).  Each DISTINCT cached
+    relation's build plan is counted exactly once — the cost its one
+    materialization actually pays at runtime."""
+    counts = {"ShuffleExchangeExec": 0, "BroadcastExchangeExec": 0}
+    cached: dict[int, object] = {}
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls in counts:
+            counts[cls] += 1
+        if cls == "AdaptiveSparkPlanExec":
+            # AQE roots are leaf nodes; descend into the initial plan
+            # (post-EnsureRequirements, pre-runtime-replanning)
+            walk(node.initialPlan())
+            return
+        if cls.startswith("InMemoryTableScan"):
+            build = node.relation().cacheBuilder().cachedPlan()
+            cached[build.id()] = build
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    done: set[int] = set()
+    while set(cached) - done:   # cached builds may nest further caches
+        for pid in list(set(cached) - done):
+            done.add(pid)
+            walk(cached[pid])
+    return counts["ShuffleExchangeExec"], counts["BroadcastExchangeExec"]
+
+
+# Structural shuffle budget per bench query: (shuffle exchanges,
+# broadcast exchanges) counted as NODES of the pre-execution adaptive
+# plan tree (cached subtrees once — see _tree_exchange_counts).  A
+# future edit that adds an Exchange — a lost broadcast, an extra
+# groupBy, a misplaced repartition — fails here with the plan, not
+# three rounds later as a bench regression.  Since r6 the budget
+# covers ALL bench queries; dedup_minhash_lsh's former text-count
+# exclusion is gone.
 SHUFFLE_BUDGET = {
     "campaign_attribution_scalable": (2, 1),
     "cdc_incremental_metrics": (4, 0),
     "corpus_chunk_dedup": (2, 2),
     "corpus_curation_funnel": (2, 1),
-    "corpus_decontaminate": (4, 1),
+    # decontaminate: the old text budget said (4,1) — its cached
+    # shingle frame has two consumers and the TEXT repeated the build's
+    # exchange; the tree count is the honest (3,1)
+    "corpus_decontaminate": (3, 1),
     "corpus_gopher_rules": (0, 0),
     "corpus_sequence_packing": (1, 0),
     "customer_metrics": (2, 1),
     "daily_sales": (2, 0),
+    "dedup_minhash_lsh": (11, 5),
     "embedding_ann_lsh": (1, 1),
     "embedding_cosine_topk": (1, 1),
     "events_hourly_rollup": (2, 0),
@@ -370,19 +412,23 @@ def test_bench_queries_hold_their_shuffle_budget(spark, sf_dir):
     from ecommerce_data_engineering_spark.plans import REGISTRY
 
     over = {}
-    for name, (n_hash, n_bcast) in SHUFFLE_BUDGET.items():
-        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
-        got = (plan.count("Exchange hashpartitioning"),
-               plan.count("BroadcastExchange"))
-        if got != (n_hash, n_bcast):
-            over[name] = {"expected": (n_hash, n_bcast), "got": got}
+    for name, (n_shuffle, n_bcast) in SHUFFLE_BUDGET.items():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        got = _tree_exchange_counts(df)
+        if got != (n_shuffle, n_bcast):
+            over[name] = {"expected": (n_shuffle, n_bcast), "got": got}
+        # range / single-partition exchanges stay banned everywhere
+        # (text check: a cached-subtree repeat can only over-report,
+        # and the bound is zero)
+        plan = _plan(df)
         assert "Exchange rangepartitioning" not in plan, name
         assert "Exchange SinglePartition" not in plan, name
     assert not over, over
 
 
-def test_budget_covers_every_non_cached_bench_query(spark):
+def test_budget_covers_every_bench_query(spark):
     from ecommerce_data_engineering_spark.plans import REGISTRY
 
     benched = {n for n, s in REGISTRY.items() if s.bench}
-    assert benched - set(SHUFFLE_BUDGET) == {"dedup_minhash_lsh"}
+    assert benched == set(SHUFFLE_BUDGET), (
+        benched.symmetric_difference(set(SHUFFLE_BUDGET)))

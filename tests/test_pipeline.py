@@ -253,3 +253,35 @@ def test_materialize_partitioned_facts_roundtrip(spark, tables, tmp_path):
     want = fo.filter(
         (F.col("order_date_key") / 100).cast("int") == months[0]).count()
     assert one.count() == want
+
+
+def test_pipeline_tables_cache_is_session_scoped(spark, monkeypatch):
+    """plans.pipeline_queries._tables memoizes the pipeline output per
+    SparkSession OBJECT (mirroring readers._relation_cache, VERDICT r5
+    #2): same session → same dict (identity hit); a newSession() sharing
+    the application must get its OWN build, never frames pinned to the
+    sibling session's SQLConf; and the memo dies with the session object
+    instead of accreting in a module global.  run_pipeline is stubbed —
+    the cache SEMANTICS are under test here; the real pipeline output is
+    driver-verified via pipeline_dim_customers_scd2 and the rest of
+    tests/test_pipeline.py, and a real double-build would cost ~5 min."""
+    from ecommerce_data_engineering_spark.plans import pipeline_queries as pq
+
+    monkeypatch.setattr(pq, "generate_ecommerce", lambda s, scale: None)
+    monkeypatch.setattr(pq, "run_pipeline",
+                        lambda s, tables, as_of: {"built_for": s})
+    sess_a, sess_b = spark.newSession(), spark.newSession()
+    try:
+        assert sess_a.sparkContext.applicationId == \
+            spark.sparkContext.applicationId      # shared app, the trap
+        a = pq._tables(sess_a)
+        assert pq._tables(sess_a) is a            # identity hit
+        assert a["built_for"] is sess_a
+        b = pq._tables(sess_b)
+        assert b is not a                         # isolated per session
+        assert b["built_for"] is sess_b
+        assert getattr(sess_b, pq._CACHE_ATTR) is b
+    finally:
+        for s in (sess_a, sess_b):
+            if hasattr(s, pq._CACHE_ATTR):
+                delattr(s, pq._CACHE_ATTR)

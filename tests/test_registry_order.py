@@ -22,19 +22,31 @@ SURVEY_IDS = (
 
 EXT_FAMILIES = {"EXT-dedup", "EXT-similarity", "EXT-text", "EXT-multimodal",
                 "EXT-asof", "EXT-skew", "EXT-window", "EXT-rollup",
-                "EXT-pivot", "EXT-session", "EXT-approx", "EXT-curation"}
+                "EXT-pivot", "EXT-session", "EXT-approx", "EXT-curation",
+                "EXT-json", "EXT-percentile"}
 
+# Permanent window residents: the flagship representative of each
+# extension family never rotates out (COVERAGE.md "Driver-window rotation").
 EXT_MUST_HAVE = {
-    "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash_pairs", "dedup_clusters",
-    "embedding_cosine_topk", "embedding_ann_lsh", "embedding_ann_ivf",
-    "text_language_id", "text_quality_scores", "text_pii_redaction",
-    "multimodal_decode", "multimodal_audio_decode",
+    "dedup_minhash_lsh", "dedup_clusters",
+    "embedding_ann_ivf",
+    "text_pii_redaction",
+    "multimodal_audio_decode",
     "purchase_click_asof", "event_user_enrichment",
-    "events_hourly_rollup", "events_session_window_native",
+    "events_session_window_native",
     "corpus_curation_funnel", "corpus_chunk_dedup",
-    "corpus_decontaminate", "corpus_epoch_upsampling",
-    "corpus_sequence_packing", "corpus_split_assignment",
+    "corpus_decontaminate",
+}
+
+# r6 rotation cohort (VERDICT r5 #1): never-driver-verified queries
+# promoted into the window for their first official CORRECTNESS rows.
+ROTATION_COHORT_R6 = {
+    "snapshot_cdc_diff", "cdc_incremental_metrics",
+    "order_value_percentiles_approx", "events_json_props",
+    "dedup_jaccard_prefix", "dedup_simhash_fingerprints",
+    "embedding_ann_lsh_multitable", "embedding_ann_ivf_nprobe",
+    "embedding_int8_quantize", "text_fingerprints",
+    "multimodal_manifest", "corpus_shard_assignment",
 }
 
 
@@ -62,6 +74,29 @@ def test_driver_window_contains_extension_queries():
     window_names = set(list(REGISTRY)[:DRIVER_WINDOW])
     missing = EXT_MUST_HAVE - window_names
     assert not missing, f"extension queries outside driver window: {missing}"
+
+
+def test_rotation_cohort_in_window_and_truly_first_time():
+    """VERDICT r5 #1: the r6 cohort must sit inside the driver window
+    AND have no row in any committed past-round CORRECTNESS artifact —
+    the rotation's whole point is first-time official verification."""
+    import glob
+    import json
+    import os
+
+    window_names = set(list(REGISTRY)[:DRIVER_WINDOW])
+    missing = ROTATION_COHORT_R6 - window_names
+    assert not missing, f"cohort outside driver window: {missing}"
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-5].json")):
+        with open(path) as f:
+            seen |= set(json.load(f))
+    assert seen, "past CORRECTNESS artifacts missing — wrong cwd?"
+    stale = ROTATION_COHORT_R6 & seen
+    assert not stale, f"cohort members already driver-verified: {stale}"
+    assert len(ROTATION_COHORT_R6) >= 8  # the r6 done-bar
 
 
 def test_window_queries_are_oracle_checked():

@@ -503,9 +503,12 @@ def test_clustered_write_file_skipping(spark):
 
 
 def test_load_relation_cache_identity_and_mtime_invalidation(spark):
-    """load() memoizes the analyzed fixture relation per
-    (applicationId, path, mtime_ns) — schema inference and file
+    """load() memoizes the analyzed fixture relation per SparkSession
+    OBJECT, keyed by (path, mtime_ns) — schema inference and file
     listing run once per fixture, not once per query construction.
+    (Session-object scope, not applicationId: sessions sharing one
+    application via newSession() have independent SQLConfs and must
+    not share relations — see readers._relation_cache.)
     A rewritten fixture (new mtime) must yield a FRESH relation that
     sees the new data; the old entry must never shadow it."""
     import tempfile
@@ -525,3 +528,25 @@ def test_load_relation_cache_identity_and_mtime_invalidation(spark):
         b = load(spark, d, "t")
         assert b is not a                         # miss: regenerated
         assert b.count() == 5
+
+
+def test_load_relation_cache_evicts_superseded_mtimes(spark):
+    """ADVICE r5: regenerating a fixture within one session must not
+    grow the per-session memo without bound — on a miss, entries for
+    the same path under older mtimes are dropped."""
+    import tempfile
+    import time as _time
+
+    from ecommerce_data_engineering_spark.sources.readers import (
+        _relation_cache, load)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        for n in (2, 3, 4):
+            spark.range(n).toDF("x").write.mode("overwrite").parquet(path)
+            load(spark, d, "t")
+            _time.sleep(0.02)
+        cache = _relation_cache(spark)
+        mine = [k for k in cache if k[0] == path]
+        assert len(mine) == 1                     # only the newest mtime
+        assert load(spark, d, "t").count() == 4
