@@ -380,3 +380,135 @@ def test_streaming_corpus_recovers_from_post_publish_crash(
             .filter(gopher_gate("text")).select("doc_id").collect()}
     assert got == want and len(want) > 0
     assert out.count() == out.select("doc_id").distinct().count()
+
+
+@pytest.mark.timeout(480)
+def test_soak_watermark_state_plateaus_over_50_batches(spark, sf_dir,
+                                                      tmp_path):
+    """Sustained-load soak (VERDICT r5 #7): drive ~50 time-ordered
+    micro-batches through the watermarked hourly rollup and MEASURE —
+    not just configure — that the state store reaches a plateau: the
+    1-hour watermark keeps evicting finalized windows, so live state
+    stays a small fraction of the cumulative window count and shows no
+    growth trend across the run.  This is the property that lets the
+    rollup run forever at firehose scale; the two-batch eviction test
+    above can't distinguish a plateau from merely slower-than-input
+    growth."""
+    import os
+    import shutil
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.schemas import FIXTURES
+    from ecommerce_data_engineering_spark.sources import load
+
+    n_files = 50
+    e = load(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / n_files
+    feed = tmp_path / "soak_feed"
+    feed.mkdir()
+    stage = tmp_path / "soak_stage"
+    # one pass: a time-slice id partitions the fixture into n_files
+    # contiguous slices; mod-times (not sleeps) fix the feed order
+    slice_id = F.least(
+        F.floor((F.col("ts").cast("double") - F.lit(lo).cast("double"))
+                / F.lit(span.total_seconds())).cast("int"),
+        F.lit(n_files - 1))
+    (e.withColumn("slice", slice_id).repartition(1)
+     .write.partitionBy("slice").mode("overwrite").parquet(str(stage)))
+    n_written = 0
+    for k in range(n_files):
+        parts = sorted((stage / f"slice={k}").glob("part-*.parquet")) \
+            if (stage / f"slice={k}").exists() else []
+        for p in parts:
+            dst = feed / f"f{k:03d}.parquet"
+            shutil.copy(p, dst)
+            os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+            n_written += 1
+    assert n_written >= 45          # nearly every slice non-empty
+
+    src = (spark.readStream.schema(FIXTURES["events"])
+           .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    agg = (src.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    q = (agg.writeStream.outputMode("update").format("memory")
+         .queryName("soak_test").trigger(availableNow=True).start())
+    assert q.awaitTermination(420), "soak stream did not finish"
+
+    prog = [p for p in q.recentProgress if p.get("stateOperators")]
+    sizes = [p["stateOperators"][0]["numRowsTotal"] for p in prog]
+    removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0)
+                  for p in prog)
+    n_batches = len([p for p in q.recentProgress
+                     if p.get("numInputRows", 0) > 0])
+    total_groups = (e.groupBy(F.window("ts", "1 hour"), "event_type")
+                    .count().count())
+
+    assert n_batches >= 45, n_batches
+    assert removed > 0.5 * total_groups, (removed, total_groups)
+    # plateau, not slow growth: peak live state stays a small fraction
+    # of the cumulative window count, and the last third of the run
+    # never exceeds the global peak of the first two thirds (state
+    # would trend UP if eviction lagged input)
+    assert max(sizes) < 0.25 * total_groups, (max(sizes), total_groups)
+    third = len(sizes) // 3
+    assert max(sizes[-third:]) <= max(sizes[:2 * third]), sizes
+    assert sizes[-1] < 0.1 * total_groups, sizes[-1]
+
+
+@pytest.mark.timeout(480)
+def test_soak_versioned_registry_garbage_stays_bounded(spark, sf_dir,
+                                                       tmp_path):
+    """Registry-side soak (VERDICT r5 #7): ~25 micro-batches of the
+    streaming curation funnel each publish a new registry version; the
+    per-batch vacuum(keep=2) must keep on-disk garbage BOUNDED — the
+    version count after 25 publishes equals what it is after 3, instead
+    of 25 directories of dead registry snapshots."""
+    import shutil
+    import time
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.sources import load
+    from ecommerce_data_engineering_spark.sources import versioned as V
+    from ecommerce_data_engineering_spark.streaming import (
+        curated_corpus_incremental)
+
+    n_files = 25
+    docs = load(spark, sf_dir, "documents").limit(200).cache()
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    step = max(1, len(ids) // n_files)
+    feed = tmp_path / "reg_feed"
+    feed.mkdir()
+    import os as _os
+    for k in range(n_files):
+        chunk = ids[k * step:(k + 1) * step]
+        if not chunk:
+            break
+        stage = tmp_path / f"reg_stage_{k}"
+        (docs.filter(F.col("doc_id").isin(chunk)).coalesce(1)
+         .write.mode("overwrite").parquet(str(stage)))
+        dst = feed / f"d{k:03d}.parquet"
+        shutil.copy(next(stage.glob("part-*.parquet")), dst)
+        _os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    docs.unpersist()
+
+    reg = tmp_path / "reg_registry"
+    t0 = time.time()
+    out = curated_corpus_incremental(
+        spark, str(feed), str(reg), str(tmp_path / "reg_out"),
+        str(tmp_path / "reg_ckpt"), timeout_s=420)
+    assert out.count() > 0
+    # versioned-publish garbage bounded: keep=2 plus the live marker —
+    # never the ~25 versions the run published
+    on_disk = sorted(int(p.name.split("=", 1)[1])
+                     for p in reg.glob("v=*"))
+    assert len(on_disk) <= 3, on_disk
+    history = V.version_history(spark, str(reg))
+    assert len(history) <= 3, history
+    assert max(history) >= n_files - 1   # it really did publish ~25 times
+    # the surviving registry is the complete one: every distinct
+    # content key ever admitted is present in the live version
+    n_keys = V.read_current(spark, str(reg)).count()
+    want = (load(spark, sf_dir, "documents").limit(200)
+            .select(F.md5(F.lower(F.trim(F.col("text"))))).distinct().count())
+    assert n_keys == want, (n_keys, want)
+    assert time.time() - t0 < 420
