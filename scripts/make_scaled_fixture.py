@@ -17,12 +17,14 @@ Text/embedding payloads are PERTURBED per copy (r4, VERDICT r3 #5):
 r3's exact clones gave every doc 4 exact copies, which inflated the
 pair-emitting dedup operators' all-pairs volume ~16x past any real
 corpus and forced their exclusion from the sweep.  Copy k>0 now maps
-every word w -> 'c{k}w' (injective per word, so shingle sets map
-injectively: WITHIN-copy Jaccard/SimHash structure is preserved
-bit-for-bit while CROSS-copy shingle overlap is zero) and circularly
-shifts embeddings by 16*k of 64 dims (a permutation is orthogonal:
-within-copy dot products and norms exact, cross-copy cosine
-decorrelated).  Duplicate density therefore scales linearly (4x), not
+every word w -> 'c{k:02d}w' (fixed-width prefix, injective per word
+AND across copies, so shingle sets map injectively: WITHIN-copy
+Jaccard/SimHash structure is preserved bit-for-bit while CROSS-copy
+shingle overlap is zero) and circularly shifts embeddings by
+(7*k) % 64 of 64 dims (a permutation is orthogonal: within-copy dot
+products and norms exact, cross-copy cosine decorrelated; the stride
+is coprime to 64 so no copy or copy pair is shift-aligned up to 64
+copies — r6 needs 16 for the overflow/skew-regime sweep).  Duplicate density therefore scales linearly (4x), not
 quadratically, and all pair-emitting queries stay oracle-diffable.
 """
 
@@ -54,17 +56,21 @@ def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_synth"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-    # The embedding shift is 16*k of 64 dims: at k=4 it wraps to 0 and
-    # copy 4 would carry EXACT duplicate embeddings — the regime the
-    # perturbation exists to eliminate (ADVICE r4).  The word map
-    # 'c{k}w' likewise assumes the source vocabulary never already
-    # starts with 'c<digit>' (true for the driver's generator).
-    if copies > 4:
+    # The embedding shift stride is COPRIME to the 64-dim cycle
+    # (gcd(7, 64) = 1), so shifts (7·k) % 64 are pairwise distinct for
+    # k < 64 and never the identity for 0 < k < 64 — no copy carries
+    # exact-duplicate embeddings and no copy PAIR is shift-aligned
+    # (the k=4 wrap that capped the r5 version at 4 copies is gone).
+    # The word map 'c{k:02d}w' is fixed-width, so prefixes are
+    # injective ACROSS copies too ('c1'+'2foo' vs 'c12'+'foo' was the
+    # double-digit collision); it assumes the source vocabulary never
+    # starts with 'c<digit><digit>' (true for the driver's generator).
+    if copies > 64:
         raise SystemExit(
-            f"copies={copies} > 4: embedding circular shift (16*k)%64 "
-            f"wraps to identity at k=4, reintroducing exact-duplicate "
-            f"embeddings. Use copies<=4 or add a non-wrapping per-copy "
-            f"permutation first.")
+            f"copies={copies} > 64: embedding circular shift (7*k)%64 "
+            f"wraps to identity at k=64, reintroducing exact-duplicate "
+            f"embeddings. Use copies<=64 or add a non-wrapping "
+            f"per-copy permutation first.")
 
     import duckdb               # plain columnar copy — no Spark needed
 
@@ -89,14 +95,14 @@ def main() -> None:
                     # exact, cross-copy shingle overlap zero
                     exprs.append(
                         rf"regexp_replace(text, '([a-z0-9]+)', "
-                        rf"'c{k}\1', 'g') AS text")
+                        rf"'c{k:02d}\1', 'g') AS text")
                 elif k > 0 and table == "documents" and c == "n_chars":
                     exprs.append(
                         rf"CAST(length(regexp_replace(text, "
-                        rf"'([a-z0-9]+)', 'c{k}\1', 'g')) AS BIGINT) "
+                        rf"'([a-z0-9]+)', 'c{k:02d}\1', 'g')) AS BIGINT) "
                         rf"AS n_chars")
                 elif k > 0 and table == "embeddings" and c == "embedding":
-                    s = (16 * k) % 64   # orthogonal circular shift
+                    s = (7 * k) % 64    # orthogonal circular shift
                     exprs.append(
                         f"(embedding[{s + 1}:] || embedding[1:{s}]) "
                         f"AS embedding")

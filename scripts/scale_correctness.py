@@ -50,7 +50,8 @@ def _usage_abort(msg: str) -> None:
         "  --all    include the quadratic-oracle pair-emitters\n"
         "  --bench  restrict to bench-flagged queries (still writes a "
         "record, marked subset=bench)\n"
-        "  --only   spot-check named queries only (NEVER writes a record)\n"
+        "  --only   spot-check named queries only (writes a record only "
+        "when --tag names one; untagged spot checks never write)\n"
         "  --tag    write SCALE_SWEEP_<tag>.json instead of "
         "SCALE_SWEEP.json (per-fixture records)\n"
         "  --force  allow overwriting a record made from a DIFFERENT "
@@ -148,7 +149,11 @@ def main() -> None:
     # from a different fixture dir refuses to be overwritten without
     # --force (ADVICE r5: a mistyped spot-check at a small fixture must
     # not clobber the authoritative 4x record).
-    if only is None:
+    # --only alone never writes (spot checks are throwaway); --only
+    # WITH --tag is a deliberate named-subset record (e.g. the 16x
+    # pair-emitter sweep, whose two all-pairs embedding oracles are
+    # excluded by cost and documented in SCALE.md).
+    if only is None or tag:
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         rec_name = f"SCALE_SWEEP_{tag}.json" if tag else "SCALE_SWEEP.json"
         rec_path = os.path.join(here, rec_name)
@@ -163,8 +168,10 @@ def main() -> None:
                     "to replace it.\n")
                 sys.exit(2)
         with open(rec_path, "w") as f:
+            subset = ("only:" + ",".join(sorted(only)) if only is not None
+                      else "bench" if bench else "full")
             json.dump({"fixture": sf_dir, "all": include_all,
-                       "subset": "bench" if bench else "full",
+                       "subset": subset,
                        "n_ok": n_ok, "n_failed": len(failed_names),
                        "failed": sorted(failed_names),
                        "skipped": sorted(skipped),
