@@ -1,0 +1,57 @@
+"""Assert the repo's scale-correctness evidence is green AND quoted
+fresh in SCALE.md — one command for the verify recipe instead of a
+growing pile of inline snippets (r4 lesson: evidence records go stale
+silently while the unit/oracle suites stay green).
+
+Checks every SCALE_SWEEP*.json at the repo root:
+
+- ``n_failed == 0`` (a recorded failure is a red build, full stop);
+- SCALE.md cites the record by filename (so a new record can't land
+  without the prose that says what it proves);
+- the untagged SCALE_SWEEP.json (the authoritative 4x full sweep)
+  keeps the exact "N of the M" claim SCALE.md quotes.
+
+Exit 0 with a one-line summary per record, exit 1 with the reason
+otherwise.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    md = open(os.path.join(HERE, "SCALE.md")).read()
+    records = sorted(glob.glob(os.path.join(HERE, "SCALE_SWEEP*.json")))
+    if not records:
+        sys.exit("no SCALE_SWEEP*.json records found")
+    bad = []
+    for path in records:
+        name = os.path.basename(path)
+        rec = json.load(open(path))
+        n_total = rec["n_ok"] + rec["n_failed"] + len(rec["skipped"])
+        if rec["n_failed"]:
+            bad.append(f"{name}: {rec['n_failed']} failed: {rec['failed']}")
+        if f"`{name}`" not in md and name not in md:
+            bad.append(f"{name}: not cited in SCALE.md")
+        if name == "SCALE_SWEEP.json":
+            claim = f"{rec['n_ok']} of the {n_total}"
+            if claim not in md:
+                bad.append(f"SCALE.md does not quote the last full sweep "
+                           f"({claim})")
+        print(f"{name}: {rec['n_ok']}/{n_total} ok "
+              f"(subset={rec.get('subset', 'full')}, "
+              f"fixture={rec['fixture']})")
+    if bad:
+        sys.exit("STALE/RED scale evidence:\n  " + "\n  ".join(bad))
+    print(f"scale evidence fresh: {len(records)} records, all green, "
+          f"all cited in SCALE.md")
+
+
+if __name__ == "__main__":
+    main()
