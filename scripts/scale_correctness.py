@@ -82,8 +82,9 @@ def main() -> None:
             only = set(a.split("=", 1)[1].split(","))
         elif a.startswith("--tag="):
             tag = a.split("=", 1)[1]
-            if not tag.isidentifier():
-                _usage_abort(f"bad --tag {tag!r} (want an identifier)")
+            if not tag or not all(c.isalnum() or c == "_" for c in tag):
+                _usage_abort(f"bad --tag {tag!r} (want [A-Za-z0-9_]+; "
+                             "'16x' is a fine tag)")
         elif a.startswith("-"):
             _usage_abort(f"unknown flag {a!r}")
         elif sf_dir is None:
