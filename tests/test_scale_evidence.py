@@ -40,3 +40,31 @@ def test_seed_records_cover_full_registry():
     for path in glob.glob(os.path.join(HERE, "SCALE_SWEEP_seed*.json")):
         rec = json.load(open(path))
         assert rec["subset"] == "full" and rec["all"] is True, path
+
+
+def test_scaled_fixture_records_cover_the_bench_set():
+    """The r6 frontier records (16x / 64x) must keep covering the bench
+    set they claim: 16x = ALL bench queries, 64x = all bench queries
+    minus the two documented oracle-cost exclusions, 16x_pairs = the
+    four word-based pair-emitters whose exhaustive oracles stay
+    tractable.  A future bench-set change that silently shrinks a
+    record's coverage fails here instead of reading as still-green."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+    bench = {n for n, s in REGISTRY.items()
+             if s.bench and s.oracle is not None}
+
+    rec16 = json.load(open(os.path.join(HERE, "SCALE_SWEEP_16x.json")))
+    assert rec16["subset"] == "bench" and rec16["n_ok"] == len(bench)
+
+    rec64 = json.load(open(os.path.join(HERE, "SCALE_SWEEP_64x.json")))
+    ran64 = set(rec64["subset"].removeprefix("only:").split(","))
+    # documented in SCALE.md: oracle cost (not Spark cost) excludes
+    # the full-fact-re-emitting twins at 64x
+    assert bench - ran64 == {"fact_lineitem_build", "events_sessionization"}
+    assert rec64["n_ok"] == len(ran64)
+
+    pairs = json.load(open(os.path.join(HERE, "SCALE_SWEEP_16x_pairs.json")))
+    assert set(pairs["subset"].removeprefix("only:").split(",")) == {
+        "dedup_clusters", "dedup_jaccard_prefix",
+        "dedup_ngram_jaccard", "dedup_simhash_pairs"} \
+        and pairs["n_ok"] == 4 and pairs["all"] is True
