@@ -47,6 +47,17 @@ def main() -> None:
         print(f"{name}: {rec['n_ok']}/{n_total} ok "
               f"(subset={rec.get('subset', 'full')}, "
               f"fixture={rec['fixture']})")
+    # the Spark-side throughput record (SCALE_BENCH.json, r6) is not a
+    # sweep — no pass/fail — but the same staleness rule applies: if it
+    # exists it must be cited in SCALE.md next to the numbers it backs
+    tput = os.path.join(HERE, "SCALE_BENCH.json")
+    if os.path.exists(tput):
+        if "SCALE_BENCH.json" not in md:
+            bad.append("SCALE_BENCH.json: not cited in SCALE.md")
+        else:
+            rec = json.load(open(tput))
+            print(f"SCALE_BENCH.json: {len(rec['runs'])} fixture runs "
+                  f"({', '.join(rec['runs'])})")
     if bad:
         sys.exit("STALE/RED scale evidence:\n  " + "\n  ".join(bad))
     print(f"scale evidence fresh: {len(records)} records, all green, "
