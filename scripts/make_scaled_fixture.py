@@ -78,9 +78,20 @@ def main() -> None:
     con = duckdb.connect()
     for table, keys in KEYS.items():
         path = f"{src}/{table}.parquet"
+        base_rows = con.execute(
+            f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+        # Representative row-group layout (r4 lesson, extended to the
+        # scaled fixtures in r6): DuckDB's default 122,880-row groups
+        # left text-light tables (documents: 320k rows at 64x) with <=3
+        # groups, capping Spark's DECODE parallelism at 3 cores and
+        # polluting throughput multiples with a layout artifact no real
+        # lake has.  Target ~64 groups per table, capped at the DuckDB
+        # default so already-fine tables (lineitem: 312 groups) keep it.
+        rgs = min(122_880, max(4_096, (base_rows * max(copies, 1)) // 64))
         if not keys:
             con.execute(f"COPY (SELECT * FROM read_parquet('{path}')) TO "
-                        f"'{out}/{table}.parquet' (FORMAT PARQUET)")
+                        f"'{out}/{table}.parquet' "
+                        f"(FORMAT PARQUET, ROW_GROUP_SIZE {rgs})")
             continue
         sels = []
         for k in range(copies):
@@ -111,7 +122,8 @@ def main() -> None:
             sels.append(f"SELECT {', '.join(exprs)} "
                         f"FROM read_parquet('{path}')")
         con.execute(f"COPY ({' UNION ALL '.join(sels)}) TO "
-                    f"'{out}/{table}.parquet' (FORMAT PARQUET)")
+                    f"'{out}/{table}.parquet' "
+                    f"(FORMAT PARQUET, ROW_GROUP_SIZE {rgs})")
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')"
         ).fetchone()[0]
