@@ -51,8 +51,10 @@ _PRIORITY = [
     "scd2_customer_merge",           # M1 J5 J9 F5 F8 P17-P19
     "fact_orders_build",             # J1 J4 P12 P13 P20 S5
     # (fact_lineitem_build → tier 10 in r6: J2 also carried by
-    #  top_revenue_orders; 5 straight green rounds of driver rows)
-    "fact_orders_upsert",            # M2
+    #  top_revenue_orders; 5 straight green rounds of driver rows.
+    #  fact_orders_upsert → tier 10 late-r6: M2 carried by
+    #  snapshot_cdc_diff + cdc_incremental_metrics, J6 by
+    #  dim_time_insert_if_absent — its slot funds a 13th first-timer)
     "customer_metrics",              # A1 A3 A4 A8 J3 P14-P16
     "product_metrics",               # A2 A6 P21
     "monthly_trends",                # O2
@@ -79,11 +81,13 @@ _PRIORITY = [
     "snapshot_cdc_diff",             # M2 J6  (r6 first-timer, benched)
     "cdc_incremental_metrics",       # M2 A1  (r6 first-timer, benched)
     # --- tier 4: window/rollup/pivot/sketch/json extensions ---
+    # (approx_distinct_users → tier 10 late-r6: EXT-approx carried by
+    #  order_value_percentiles_approx — its slot funds a 14th first-timer)
     "rolling_7day_revenue",
     "revenue_rollup",
     "event_type_pivot",
-    "approx_distinct_users",
-    "order_value_percentiles_approx",  # EXT-percentile (r6 first-timer)
+    "month_over_month_delta",        # EXT-window lag/delta (r6 first-timer)
+    "order_value_percentiles_approx",  # EXT-percentile EXT-approx (r6 first-timer)
     "events_json_props",             # P3 EXT-json (r6 first-timer)
     # --- tier 5: dedup family (exact/simhash-pairs → tier 10 in r6;
     #     the funnel + chunk-dedup + decontaminate re-exercise
@@ -91,6 +95,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_jaccard_prefix",          # PPJoin prefix filter (r6 first-timer)
+    "dedup_ngram_jaccard",           # exhaustive n-gram Jaccard (r6 first-timer)
     "dedup_simhash_fingerprints",    # (r6 first-timer)
     # --- tier 6: similarity search (cosine_topk/ann_lsh → tier 10 in
     #     r6 after 3+ green rounds; the multitable/nprobe variants and
@@ -117,8 +122,10 @@ _PRIORITY = [
     # ---------------- end of driver window (50) ----------------
     # tier 10: rotated-out + redundant-but-valuable shapes, most
     # valuable first, in case the verification budget is larger than
-    # observed.  The r6 rotated-out twelve lead: each has 3-5 rounds
+    # observed.  The r6 rotated-out fourteen lead: each has 3-5 rounds
     # of green driver rows and stays bench-measured + locally diffed.
+    "fact_orders_upsert",
+    "approx_distinct_users",
     "fact_lineitem_build",
     "events_hourly_rollup",
     "dedup_exact",
@@ -142,7 +149,6 @@ _PRIORITY = [
     "seasonal_performance",
     "executive_summary",
     "event_type_daily_share",
-    "month_over_month_delta",
     "order_value_percentiles",
     "unpivot_monthly_metrics",
     "doc_stats",

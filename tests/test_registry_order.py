@@ -47,6 +47,10 @@ ROTATION_COHORT_R6 = {
     "embedding_ann_lsh_multitable", "embedding_ann_ivf_nprobe",
     "embedding_int8_quantize", "text_fingerprints",
     "multimodal_manifest", "corpus_shard_assignment",
+    # late-r6 additions: the last two coverage-redundant veteran slots
+    # (fact_orders_upsert, approx_distinct_users) funded two more
+    # first-timers once every covered id was double-carried
+    "dedup_ngram_jaccard", "month_over_month_delta",
 }
 
 
