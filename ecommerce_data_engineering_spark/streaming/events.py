@@ -46,7 +46,8 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str,
-                         timeout_s: int = 120, mode: str = "update") -> DataFrame:
+                         timeout_s: int = 120, mode: str = "update",
+                         return_progress: bool = False):
     """Drive a streaming query to completion on the available input
     (Trigger.AvailableNow) and return the materialized result.
 
@@ -74,7 +75,13 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
         raise TimeoutError(
             f"streaming query {name!r} did not finish within {timeout_s}s")
     spark = stream_df.sparkSession
-    return spark.sql(f"SELECT * FROM {name}")
+    result = spark.sql(f"SELECT * FROM {name}")
+    if return_progress:
+        # recentProgress: per-micro-batch input rows, trigger durations,
+        # and state-operator metrics — the raw material for throughput
+        # records (scripts/stream_throughput.py)
+        return result, list(q.recentProgress)
+    return result
 
 
 def stream_deduplicated_events(spark: SparkSession, sf_dir: str) -> DataFrame:

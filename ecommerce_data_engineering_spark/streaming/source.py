@@ -37,7 +37,8 @@ def _newest_mtime(dir_path: str, glob: str) -> float:
 
 
 def stream_events_dir(spark: SparkSession, dir_path: str,
-                      glob: str = "*.parquet") -> DataFrame:
+                      glob: str = "*.parquet",
+                      max_files_per_trigger: int | None = None) -> DataFrame:
     """Streaming DataFrame over events-shaped parquet under
     ``dir_path`` (matching ``glob``) with ``ts`` normalized to
     TIMESTAMP whatever the files stored — the footer sniff and both
@@ -50,20 +51,25 @@ def stream_events_dir(spark: SparkSession, dir_path: str,
             spark.read.option("pathGlobFilter", glob)
             .parquet(dir_path).dtypes).get("ts")
     batch_ts = _TS_DTYPE_CACHE[key]
+
+    def _reader(schema):
+        r = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+        if max_files_per_trigger is not None:
+            # micro-batch pacing for soak/throughput runs: each trigger
+            # consumes N files instead of the whole backlog at once
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r
+
     if batch_ts == "bigint":  # TIMESTAMP(NANOS) via legacy nanosAsLong
         schema = T.StructType([
             f if f.name != "ts" else T.StructField("ts", T.LongType())
             for f in FIXTURES["events"].fields])
-        return (spark.readStream.schema(schema)
-                .option("pathGlobFilter", glob)
-                .parquet(dir_path)
+        return (_reader(schema).parquet(dir_path)
                 .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
     schema = T.StructType([
         f if f.name != "ts" else T.StructField("ts", T.TimestampType())
         for f in FIXTURES["events"].fields])
-    return (spark.readStream.schema(schema)
-            .option("pathGlobFilter", glob)
-            .parquet(dir_path))
+    return _reader(schema).parquet(dir_path)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,6 +58,17 @@ def main() -> None:
             rec = json.load(open(tput))
             print(f"SCALE_BENCH.json: {len(rec['runs'])} fixture runs "
                   f"({', '.join(rec['runs'])})")
+    sbench = os.path.join(HERE, "STREAM_BENCH.json")
+    if os.path.exists(sbench):
+        rec = json.load(open(sbench))
+        if not rec.get("streamed_equals_batch"):
+            bad.append("STREAM_BENCH.json: streamed != batch (red record)")
+        if "STREAM_BENCH.json" not in md:
+            bad.append("STREAM_BENCH.json: not cited in SCALE.md")
+        else:
+            print(f"STREAM_BENCH.json: {rec['rows']} rows, "
+                  f"{rec['rows_per_sec_wall']} rows/s wall, "
+                  f"stream==batch {rec['streamed_equals_batch']}")
     if bad:
         sys.exit("STALE/RED scale evidence:\n  " + "\n  ".join(bad))
     print(f"scale evidence fresh: {len(records)} records, all green, "
