@@ -512,3 +512,20 @@ def test_soak_versioned_registry_garbage_stays_bounded(spark, sf_dir,
             .select(F.md5(F.lower(F.trim(F.col("text"))))).distinct().count())
     assert n_keys == want, (n_keys, want)
     assert time.time() - t0 < 420
+
+
+@pytest.mark.timeout(300)
+def test_run_stream_to_memory_return_progress(spark, sf_dir):
+    """The return_progress flag (scripts/stream_throughput.py's hook)
+    must hand back the memory table plus the query's recentProgress
+    list — pin the contract so the throughput harness can't rot."""
+    from ecommerce_data_engineering_spark.streaming.events import (
+        run_stream_to_memory, stream_hourly_rollup)
+
+    result, progress = run_stream_to_memory(
+        stream_hourly_rollup(spark, sf_dir), "progress_probe",
+        return_progress=True)
+    assert result.count() > 0
+    assert isinstance(progress, list) and progress
+    assert any(p.get("numInputRows", 0) > 0 for p in progress)
+    assert any(p.get("stateOperators") for p in progress)
