@@ -59,7 +59,14 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     debugging — retains every window in the state store forever and
     must not be used for an unbounded stream.  With a single
     availableNow batch over a static fixture, update mode emits every
-    window exactly once, so the memory table equals the batch result."""
+    window exactly once, so the memory table equals the batch result.
+    With a MULTI-batch feed (maxFilesPerTrigger on the source) the
+    memory table holds one row per update instead — consumers finalize
+    by max-n_events per key (scripts/stream_throughput.py).
+
+    ``return_progress=True`` returns ``(result_df, recentProgress)``
+    instead of the bare DataFrame — the per-batch input-rate and
+    state-operator metrics the throughput record is built from."""
     q = (
         stream_df.writeStream.outputMode(mode)
         .format("memory").queryName(name)

@@ -32,8 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    src_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_64x"
-    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    src_dir = args[0] if args else "/tmp/sf_64x"
+    n_files = int(args[1]) if len(args) > 1 else 32
     feed = f"/tmp/stream_feed_{os.path.basename(src_dir.rstrip('/'))}"
 
     from pyspark.sql import SparkSession, functions as F
@@ -60,9 +61,12 @@ def main() -> None:
     # Range-split by event time into a monotone file feed: file k holds
     # the k-th time slice, so each micro-batch advances the watermark
     # and earlier windows finalize + evict — the steady-state regime,
-    # not one giant batch.  repartitionByRange gives contiguous slices;
-    # files are named by their slice so FileStreamSource's sorted
-    # listing preserves time order regardless of mtime granularity.
+    # not one giant batch.  repartitionByRange gives contiguous slices
+    # (part-0000k = the k-th ts range).  FileStreamSource orders the
+    # backlog by MODIFICATION TIME, not name — small files all copied
+    # within one mtime tick would stream in arbitrary order, turning
+    # the monotone feed non-monotone and (correctly) dropping late rows
+    # — so stamp each file with an explicit, strictly increasing mtime.
     import shutil
     if os.path.exists(feed):
         shutil.rmtree(feed)
@@ -71,8 +75,11 @@ def main() -> None:
      .write.mode("overwrite").parquet(stage))
     os.makedirs(feed)
     parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
-    for f in parts:                 # part-0000k is the k-th ts range
-        shutil.copy(os.path.join(stage, f), os.path.join(feed, f))
+    base = time.time() - 2 * len(parts)
+    for k, f in enumerate(parts):
+        dst = os.path.join(feed, f)
+        shutil.copy(os.path.join(stage, f), dst)
+        os.utime(dst, (base + 2 * k, base + 2 * k))
     shutil.rmtree(stage)
 
     stream = (stream_events_dir(spark, feed, max_files_per_trigger=1)
@@ -136,7 +143,17 @@ def main() -> None:
     if not matches:
         sys.exit("STREAMED RESULT != BATCH — no record written")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "STREAM_BENCH.json"), "w") as f:
+    rec_path = os.path.join(here, "STREAM_BENCH.json")
+    # same clobber guard as scale_correctness.py (ADVICE r5): a
+    # spot-check from a smaller fixture must not silently replace the
+    # authoritative record made from a different one
+    if os.path.exists(rec_path) and "--force" not in sys.argv:
+        prev = json.load(open(rec_path))
+        if prev.get("fixture") != src_dir:
+            sys.exit(f"REFUSING to overwrite STREAM_BENCH.json (records "
+                     f"fixture {prev.get('fixture')!r}, this run used "
+                     f"{src_dir!r}); pass --force to replace it")
+    with open(rec_path, "w") as f:
         json.dump(rec, f, indent=1)
     print("wrote STREAM_BENCH.json")
 
