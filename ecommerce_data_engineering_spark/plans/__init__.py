@@ -36,11 +36,13 @@ DRIVER_WINDOW = 50
 #
 # ROTATION (VERDICT r5 #1, schedule in COVERAGE.md "Driver-window rotation"): coverage-
 # redundant window slots rotate a cohort of never-driver-verified
-# queries through official CORRECTNESS rows each round.  r6 cohort:
-# 12 first-timers in; 12 slots whose §2/EXT ids other window rows
-# already carry moved to the head of tier 10 (they stay bench-measured
-# and locally oracle-diffed — rotation changes which queries get the
-# DRIVER's 50-row budget, nothing else).
+# queries through official CORRECTNESS rows each round.  r7 cohort:
+# 15 first-timers in; the 14 r6 first-timers (now officially verified)
+# plus pipeline_dim_customers_scd2 / snapshot_cdc_diff / the tier-4
+# window-shape veterans moved to the head of tier 10 — every evicted
+# slot's §2/EXT ids are carried by a stayer or an incoming first-timer
+# (they stay bench-measured and locally oracle-diffed; rotation changes
+# which queries get the DRIVER's 50-row budget, nothing else).
 _PRIORITY = [
     # --- tier 1: minimal §2 core cover (staging/dims/facts/analytics) ---
     "clean_customer_strings",        # P1 P2 P7
@@ -50,11 +52,6 @@ _PRIORITY = [
     "dim_time_insert_if_absent",     # M4 F6 J6
     "scd2_customer_merge",           # M1 J5 J9 F5 F8 P17-P19
     "fact_orders_build",             # J1 J4 P12 P13 P20 S5
-    # (fact_lineitem_build → tier 10 in r6: J2 also carried by
-    #  top_revenue_orders; 5 straight green rounds of driver rows.
-    #  fact_orders_upsert → tier 10 late-r6: M2 carried by
-    #  snapshot_cdc_diff + cdc_incremental_metrics, J6 by
-    #  dim_time_insert_if_absent — its slot funds a 13th first-timer)
     "customer_metrics",              # A1 A3 A4 A8 J3 P14-P16
     "product_metrics",               # A2 A6 P21
     "monthly_trends",                # O2
@@ -70,60 +67,80 @@ _PRIORITY = [
     "customer_full_name",            # P6  (concat vs concat_ws NULL semantics)
     "dq_contract",                   # Q1 Q7
     "ingest_refresh_roundtrip",      # S2 S3 S4 M3
-    "pipeline_dim_customers_scd2",   # S8 (full closed-form oracle)
+    # (pipeline_dim_customers_scd2 → tier 10 in r7: S8 now carried by
+    #  the pipeline_customer_metrics / pipeline_daily_sales first-timers,
+    #  M1 by scd2_customer_merge; 5 green driver rounds)
+    "pipeline_customer_metrics",     # A1 S8 rows-contract twin (r7 first-timer)
+    "pipeline_daily_sales",          # A1 S8 rows-contract twin (r7 first-timer)
     # --- tier 3: event/streaming twins + as-of + skew + CDC ---
-    # (events_sessionization past-window since r3; events_hourly_rollup
-    #  → tier 10 in r6: its A1/A2 are amply covered and the streaming
-    #  twin family keeps events_session_window_native in-window)
+    # (snapshot_cdc_diff → tier 10 in r7: M2 stays carried by
+    #  cdc_incremental_metrics, J6 by dim_time_insert_if_absent)
     "purchase_click_asof",           # EXT-asof
-    "event_user_enrichment",         # EXT-skew
+    "event_user_enrichment",         # J3 EXT-skew
     "events_session_window_native",  # EXT-session
-    "snapshot_cdc_diff",             # M2 J6  (r6 first-timer, benched)
-    "cdc_incremental_metrics",       # M2 A1  (r6 first-timer, benched)
+    "cdc_incremental_metrics",       # M2 A1
     # --- tier 4: window/rollup/pivot/sketch/json extensions ---
-    # (approx_distinct_users → tier 10 late-r6: EXT-approx carried by
-    #  order_value_percentiles_approx — its slot funds a 14th first-timer)
-    "rolling_7day_revenue",
-    "revenue_rollup",
-    "event_type_pivot",
-    "month_over_month_delta",        # EXT-window lag/delta (r6 first-timer)
-    "order_value_percentiles_approx",  # EXT-percentile EXT-approx (r6 first-timer)
-    "events_json_props",             # P3 EXT-json (r6 first-timer)
-    # --- tier 5: dedup family (exact/simhash-pairs → tier 10 in r6;
-    #     the funnel + chunk-dedup + decontaminate re-exercise
-    #     EXT-dedup inside the window) ---
+    # (rolling_7day_revenue + month_over_month_delta → tier 10 in r7:
+    #  EXT-window taken by customer_value_quartiles; revenue_rollup →
+    #  EXT-rollup by events_rollup_cascade; event_type_pivot →
+    #  EXT-pivot by unpivot_monthly_metrics)
+    "customer_value_quartiles",      # EXT-window ntile (r7 first-timer)
+    "events_rollup_cascade",         # EXT-rollup A1 (r7 first-timer)
+    "unpivot_monthly_metrics",       # EXT-pivot stack/unpivot (r7 first-timer)
+    "order_value_percentiles",       # EXT-percentile exact (r7 first-timer)
+    "order_value_percentiles_approx",  # EXT-percentile EXT-approx
+    "events_json_props",             # P3 EXT-json
+    # --- tier 5: dedup family (jaccard_prefix / ngram_jaccard /
+    #     simhash_fingerprints → tier 10 in r7 after their r6 rows;
+    #     the embedding-dedup pair takes its first driver rows) ---
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_jaccard_prefix",          # PPJoin prefix filter (r6 first-timer)
-    "dedup_ngram_jaccard",           # exhaustive n-gram Jaccard (r6 first-timer)
-    "dedup_simhash_fingerprints",    # (r6 first-timer)
-    # --- tier 6: similarity search (cosine_topk/ann_lsh → tier 10 in
-    #     r6 after 3+ green rounds; the multitable/nprobe variants and
-    #     the int8 audit take their driver rows) ---
+    "dedup_embedding_cosine",        # embedding near-dup pairs (r7 first-timer)
+    "dedup_embedding_clusters",      # cosine-threshold clusters (r7 first-timer)
+    "corpus_dedup_stats",            # A7 EXT-dedup audit (r7 first-timer)
+    # --- tier 6: similarity search (lsh_multitable / ivf_nprobe /
+    #     int8_quantize → tier 10 in r7; the multiprobe variant and the
+    #     k-means trainer — the sole eager-construction exception,
+    #     VERDICT r6 watch item — take their driver rows) ---
     "embedding_ann_ivf",
-    "embedding_ann_lsh_multitable",  # (r6 first-timer)
-    "embedding_ann_ivf_nprobe",      # (r6 first-timer)
-    "embedding_int8_quantize",       # EXT-similarity EXT-curation (r6 first-timer)
-    # --- tier 7: text analysis (language_id/quality_scores → tier 10
-    #     in r6; fingerprints gives rolling-hash shingles a first
-    #     driver row, funnel keeps Gopher quality gates in-window) ---
+    "embedding_ann_lsh_multiprobe",  # (r7 first-timer)
+    "embedding_ivf_kmeans",          # k-means trainer (r7 first-timer)
+    # --- tier 7: text analysis (text_fingerprints → tier 10 in r7;
+    #     doc_stats + token_topk give corpus text stats driver rows) ---
     "text_pii_redaction",            # PII scrub, masked text md5-pinned
-    "text_fingerprints",             # rolling-hash doc fingerprints (r6 first-timer)
-    # --- tier 8: multimodal (decode → tier 10 in r6; audio keeps a
-    #     real codec in-window, manifest adds typed-metadata audit) ---
+    "doc_stats",                     # A1 EXT-text corpus stats (r7 first-timer)
+    "corpus_token_topk",             # EXT-text EXT-curation (r7 first-timer)
+    # --- tier 8: multimodal (manifest → tier 10 in r7; decode_stub
+    #     documents the gated-codec contract with a driver row) ---
     "multimodal_audio_decode",
-    "multimodal_manifest",           # (r6 first-timer)
-    # --- tier 9: curation (split/epoch/packing → tier 10 in r6 —
+    "multimodal_decode_stub",        # gated-codec contract (r7 first-timer)
+    # --- tier 9: curation (shard_assignment → tier 10 in r7 —
     #     EXT-curation stays 5-deep in-window) ---
     "corpus_curation_funnel",        # EXT-curation EXT-dedup EXT-text
     "corpus_chunk_dedup",            # C4-style corpus-wide span dedup
     "corpus_decontaminate",          # train/test n-gram overlap guard
-    "corpus_shard_assignment",       # (r6 first-timer)
+    "corpus_filter_pipeline",        # EXT-text EXT-dedup (r7 first-timer)
     # ---------------- end of driver window (50) ----------------
     # tier 10: rotated-out + redundant-but-valuable shapes, most
     # valuable first, in case the verification budget is larger than
-    # observed.  The r6 rotated-out fourteen lead: each has 3-5 rounds
+    # observed.  The r7 rotated-out fifteen lead: each has 1-5 rounds
     # of green driver rows and stays bench-measured + locally diffed.
+    "pipeline_dim_customers_scd2",
+    "snapshot_cdc_diff",
+    "rolling_7day_revenue",
+    "revenue_rollup",
+    "event_type_pivot",
+    "month_over_month_delta",
+    "dedup_jaccard_prefix",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_fingerprints",
+    "embedding_ann_lsh_multitable",
+    "embedding_ann_ivf_nprobe",
+    "embedding_int8_quantize",
+    "text_fingerprints",
+    "multimodal_manifest",
+    "corpus_shard_assignment",
+    # r6-and-earlier rotations follow.
     "fact_orders_upsert",
     "approx_distinct_users",
     "fact_lineitem_build",
@@ -149,12 +166,6 @@ _PRIORITY = [
     "seasonal_performance",
     "executive_summary",
     "event_type_daily_share",
-    "order_value_percentiles",
-    "unpivot_monthly_metrics",
-    "doc_stats",
-    "dedup_embedding_clusters",
-    "embedding_ann_lsh_multiprobe",
-    "events_rollup_cascade",
     "campaign_attribution_scalable",
     # everything else (TPC-H shape library, pipeline twins) follows in
     # registration order.

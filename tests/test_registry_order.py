@@ -38,19 +38,18 @@ EXT_MUST_HAVE = {
     "corpus_decontaminate",
 }
 
-# r6 rotation cohort (VERDICT r5 #1): never-driver-verified queries
+# r7 rotation cohort (VERDICT r6 #1): never-driver-verified queries
 # promoted into the window for their first official CORRECTNESS rows.
-ROTATION_COHORT_R6 = {
-    "snapshot_cdc_diff", "cdc_incremental_metrics",
-    "order_value_percentiles_approx", "events_json_props",
-    "dedup_jaccard_prefix", "dedup_simhash_fingerprints",
-    "embedding_ann_lsh_multitable", "embedding_ann_ivf_nprobe",
-    "embedding_int8_quantize", "text_fingerprints",
-    "multimodal_manifest", "corpus_shard_assignment",
-    # late-r6 additions: the last two coverage-redundant veteran slots
-    # (fact_orders_upsert, approx_distinct_users) funded two more
-    # first-timers once every covered id was double-carried
-    "dedup_ngram_jaccard", "month_over_month_delta",
+# 15 in; the 7 remaining never-verified queries (all coverage-redundant
+# EXT-curation shapes) rotate in r8.
+ROTATION_COHORT_R7 = {
+    "pipeline_customer_metrics", "pipeline_daily_sales",
+    "customer_value_quartiles", "events_rollup_cascade",
+    "unpivot_monthly_metrics", "order_value_percentiles",
+    "dedup_embedding_cosine", "dedup_embedding_clusters",
+    "corpus_dedup_stats", "embedding_ann_lsh_multiprobe",
+    "embedding_ivf_kmeans", "doc_stats", "corpus_token_topk",
+    "multimodal_decode_stub", "corpus_filter_pipeline",
 }
 
 
@@ -81,7 +80,7 @@ def test_driver_window_contains_extension_queries():
 
 
 def test_rotation_cohort_in_window_and_truly_first_time():
-    """VERDICT r5 #1: the r6 cohort must sit inside the driver window
+    """VERDICT r6 #1: the r7 cohort must sit inside the driver window
     AND have no row in any committed past-round CORRECTNESS artifact —
     the rotation's whole point is first-time official verification."""
     import glob
@@ -89,18 +88,18 @@ def test_rotation_cohort_in_window_and_truly_first_time():
     import os
 
     window_names = set(list(REGISTRY)[:DRIVER_WINDOW])
-    missing = ROTATION_COHORT_R6 - window_names
+    missing = ROTATION_COHORT_R7 - window_names
     assert not missing, f"cohort outside driver window: {missing}"
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-5].json")):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-6].json")):
         with open(path) as f:
             seen |= set(json.load(f))
     assert seen, "past CORRECTNESS artifacts missing — wrong cwd?"
-    stale = ROTATION_COHORT_R6 & seen
+    stale = ROTATION_COHORT_R7 & seen
     assert not stale, f"cohort members already driver-verified: {stale}"
-    assert len(ROTATION_COHORT_R6) >= 8  # the r6 done-bar
+    assert len(ROTATION_COHORT_R7) >= 14  # the r7 done-bar (VERDICT r6 #1)
 
 
 def test_window_queries_are_oracle_checked():
