@@ -1,0 +1,186 @@
+"""Measure ANN recall against the exact baselines → RECALL.json.
+
+The repo keeps two deliberately-exhaustive yardsticks precisely so the
+approximate scale paths can be MEASURED, not just trusted
+(plans/extensions.py: `embedding_cosine_topk` for vector search,
+`dedup_ngram_jaccard` for set-similarity dedup).  This script records
+those measurements as a per-fixture artifact:
+
+- recall@k of every registered ANN variant (sign-LSH single table,
+  multi-probe, multi-table, IVF nprobe=1, IVF nprobe=2) against the
+  exact brute-force top-k, averaged over the query set;
+- an IVF nprobe sweep (1/2/4/8) via the same `ivf_assign` kernel the
+  registered queries use, showing the recall/candidate-cost knob;
+- MinHash-LSH pair recall against the exhaustive n-gram Jaccard pair
+  set (precision is 1.0 by construction — LSH candidates are verified
+  with the same exact Jaccard ≥ t predicate the oracle applies, so the
+  only possible error is a MISSED pair).
+
+Usage:
+    python scripts/ann_recall.py [label=dir ...]
+defaults to `sf0.1=/root/testdata/sf0.1 16x=/tmp/sf_16x`.
+
+tests/test_recall_evidence.py asserts the artifact is fresh against the
+current registry and that the structural dominance floors hold
+(multi-table >= single-table, nprobe monotone, etc.).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ANN_VARIANTS = [
+    "embedding_ann_lsh",
+    "embedding_ann_lsh_multiprobe",
+    "embedding_ann_lsh_multitable",
+    "embedding_ann_ivf",
+    "embedding_ann_ivf_nprobe",
+]
+NPROBE_SWEEP = [1, 2, 4, 8]
+
+
+def _topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.select("query_id", "neighbor_id").collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(ann: dict[int, set[int]], exact: dict[int, set[int]]) -> float:
+    """Mean per-query |ann ∩ exact| / |exact| over the EXACT query set —
+    a query the ANN variant returns nothing for scores 0, not NaN."""
+    if not exact:
+        return 1.0
+    total = sum(len(ann.get(q, set()) & nbrs) / len(nbrs)
+                for q, nbrs in exact.items() if nbrs)
+    return total / len(exact)
+
+
+def _ivf_nprobe_topk(spark, sf_dir: str, nprobe: int):
+    """The registered embedding_ann_ivf_nprobe plan with a parametric
+    nprobe — same seed centroids, same kernels (plans/extensions.py
+    `embedding_ann_ivf_nprobe` is exactly this with nprobe=2)."""
+    from pyspark.sql import Window, functions as F
+
+    from ecommerce_data_engineering_spark.functions.rounding import pround
+    from ecommerce_data_engineering_spark.operators import similarity as S
+    from ecommerce_data_engineering_spark.operators.similarity import ivf_assign
+    from ecommerce_data_engineering_spark.plans.extensions import (
+        ANN_K, ANN_QUERY_LIMIT, IVF_K, IVF_SEED_STEP)
+    from ecommerce_data_engineering_spark.sources.readers import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = (emb.filter((F.col("vec_id") % IVF_SEED_STEP == 0)
+                            & (F.col("vec_id") < IVF_K * IVF_SEED_STEP))
+                 .select((F.col("vec_id") / IVF_SEED_STEP).cast("int")
+                         .alias("cluster_id"), "embedding"))
+    corpus_cells = ivf_assign(S.with_norm(emb), centroids)
+    query_cells = ivf_assign(
+        S.with_norm(emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)),
+        centroids, nprobe=nprobe)
+    q = query_cells.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("q_vec"),
+                           F.col("norm").alias("q_norm"), "cluster_id")
+    c = corpus_cells.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("embedding").alias("c_vec"),
+                            F.col("norm").alias("c_norm"), "cluster_id")
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    sims = (q.join(c, "cluster_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine",
+                        pround(dot / (F.col("q_norm") * F.col("c_norm")), 6))
+            .select("query_id", "neighbor_id", "cosine")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (sims.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= ANN_K))
+
+
+def main() -> None:
+    fixtures = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a) or {
+        "sf0.1": "/root/testdata/sf0.1", "16x": "/tmp/sf_16x"}
+    for label, d in fixtures.items():
+        if not os.path.isdir(d):
+            sys.exit(f"fixture dir for {label!r} does not exist: {d}")
+
+    from pyspark.sql import SparkSession
+
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rec: dict = {
+        "date": datetime.date.today().isoformat(),
+        "k": 5,
+        "ann_variants": ANN_VARIANTS,
+        "nprobe_sweep": NPROBE_SWEEP,
+        "fixtures": {},
+    }
+    for label, sf_dir in fixtures.items():
+        exact = _topk_sets(REGISTRY["embedding_cosine_topk"].fn(spark, sf_dir))
+        ann = {}
+        for name in ANN_VARIANTS:
+            sets = _topk_sets(REGISTRY[name].fn(spark, sf_dir))
+            ann[name] = {
+                "recall_at_k": round(_recall(sets, exact), 4),
+                "queries_answered": len(sets),
+            }
+            print(f"{label}: {name} recall@5 = {ann[name]['recall_at_k']}",
+                  flush=True)
+        sweep = {}
+        for nprobe in NPROBE_SWEEP:
+            sets = _topk_sets(_ivf_nprobe_topk(spark, sf_dir, nprobe))
+            sweep[str(nprobe)] = round(_recall(sets, exact), 4)
+            print(f"{label}: ivf nprobe={nprobe} recall@5 = "
+                  f"{sweep[str(nprobe)]}", flush=True)
+
+        def pair_set(name: str) -> set[tuple[int, int]]:
+            return {(r["id_a"], r["id_b"]) for r in
+                    REGISTRY[name].fn(spark, sf_dir)
+                    .select("id_a", "id_b").collect()}
+
+        exact_pairs = pair_set("dedup_ngram_jaccard")
+        lsh_pairs = pair_set("dedup_minhash_lsh")
+        false_pos = lsh_pairs - exact_pairs
+        pair_recall = (len(lsh_pairs & exact_pairs) / len(exact_pairs)
+                       if exact_pairs else 1.0)
+        print(f"{label}: minhash pair recall = {pair_recall:.4f} "
+              f"({len(lsh_pairs)}/{len(exact_pairs)} pairs, "
+              f"{len(false_pos)} false positives)", flush=True)
+        rec["fixtures"][label] = {
+            "dir": sf_dir,
+            "n_queries": len(exact),
+            "ann": ann,
+            "ivf_nprobe_recall": sweep,
+            "minhash_vs_exhaustive_jaccard": {
+                "exact_pairs": len(exact_pairs),
+                "lsh_pairs": len(lsh_pairs),
+                "false_positive_pairs": len(false_pos),
+                "pair_recall": round(pair_recall, 4),
+            },
+        }
+        spark.catalog.clearCache()
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "RECALL.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print("wrote RECALL.json")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

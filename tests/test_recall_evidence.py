@@ -1,0 +1,81 @@
+"""RECALL.json (scripts/ann_recall.py) is the recorded measurement of
+every approximate operator against its exhaustive yardstick — the
+artifact VERDICT r6 #3 asked for.  These tests pin (a) freshness against
+the current registry and (b) the STRUCTURAL dominance relations the
+operators promise in their docstrings, so a future change that silently
+degrades a recall lever (a desynchronized plane table, a probe-side
+regression, a banding change) turns the build red instead of quietly
+shipping worse recall.
+
+Floors are set from the recorded fixture values with headroom: the
+synthetic embeddings are near-uniform (weak neighbor structure), so
+absolute recall at small probe budgets is legitimately low — what must
+hold are the relative guarantees and the MinHash near-miss bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PATH = os.path.join(HERE, "RECALL.json")
+
+
+@pytest.fixture(scope="module")
+def rec():
+    assert os.path.exists(PATH), "RECALL.json missing — run scripts/ann_recall.py"
+    return json.load(open(PATH))
+
+
+def test_record_covers_registered_ann_variants(rec):
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    expected = {n for n in REGISTRY
+                if n.startswith("embedding_ann_") and n != "embedding_ivf_kmeans"}
+    assert set(rec["ann_variants"]) == expected
+    assert rec["fixtures"], "no fixtures recorded"
+    for label, fx in rec["fixtures"].items():
+        assert set(fx["ann"]) == expected, label
+        assert fx["n_queries"] > 0, label
+
+
+def test_lsh_recall_levers_dominate_single_table(rec):
+    """Multi-table table 0 IS the single-table signature and multi-probe
+    probes a candidate superset — both recalls must dominate the plain
+    single-table variant on every fixture (similarity.py docstrings)."""
+    for label, fx in rec["fixtures"].items():
+        single = fx["ann"]["embedding_ann_lsh"]["recall_at_k"]
+        multit = fx["ann"]["embedding_ann_lsh_multitable"]["recall_at_k"]
+        multip = fx["ann"]["embedding_ann_lsh_multiprobe"]["recall_at_k"]
+        assert multit >= single, (label, multit, single)
+        assert multip >= single, (label, multip, single)
+
+
+def test_ivf_nprobe_recall_is_monotone_and_matches_registered(rec):
+    """nprobe widens the probed-cell set, so recall is nondecreasing in
+    nprobe; the sweep's nprobe=1/2 points must agree with the registered
+    embedding_ann_ivf / embedding_ann_ivf_nprobe rows (same kernels)."""
+    for label, fx in rec["fixtures"].items():
+        sweep = [fx["ivf_nprobe_recall"][str(p)] for p in rec["nprobe_sweep"]]
+        assert sweep == sorted(sweep), (label, sweep)
+        assert sweep[-1] >= 0.75, (
+            f"{label}: widest probe budget should recover most true "
+            f"neighbors even on uniform data, got {sweep[-1]}")
+        assert fx["ivf_nprobe_recall"]["1"] == \
+            fx["ann"]["embedding_ann_ivf"]["recall_at_k"], label
+        assert fx["ivf_nprobe_recall"]["2"] == \
+            fx["ann"]["embedding_ann_ivf_nprobe"]["recall_at_k"], label
+
+
+def test_minhash_pair_recall_floor_and_exactness(rec):
+    """Banded MinHash at the registered parameters (8 hashes, 4 bands)
+    must recover ≥95% of the true Jaccard ≥ t pairs, and can never emit
+    a false positive (candidates are verified with the exact Jaccard)."""
+    for label, fx in rec["fixtures"].items():
+        mh = fx["minhash_vs_exhaustive_jaccard"]
+        assert mh["false_positive_pairs"] == 0, label
+        assert mh["pair_recall"] >= 0.95, (label, mh)
+        assert mh["lsh_pairs"] <= mh["exact_pairs"], label
