@@ -86,8 +86,23 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     if return_progress:
         # recentProgress: per-micro-batch input rows, trigger durations,
         # and state-operator metrics — the raw material for throughput
-        # records (scripts/stream_throughput.py)
-        return result, list(q.recentProgress)
+        # records (scripts/stream_throughput.py).  The buffer is a ring
+        # capped by spark.sql.streaming.numRecentProgressUpdates
+        # (default 100): a feed with more micro-batches than the cap
+        # would silently DROP the earliest entries, under-counting
+        # input rows while the record still reads as complete (ADVICE
+        # r6) — a full buffer is therefore an error here, not a result.
+        progress = list(q.recentProgress)
+        cap = int(spark.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates", "100"))
+        if len(progress) >= cap:
+            raise RuntimeError(
+                f"streaming query {name!r} produced >= {cap} progress "
+                f"updates — the recentProgress ring buffer overflowed "
+                f"and early batches are gone; raise spark.sql.streaming."
+                f"numRecentProgressUpdates above the micro-batch count "
+                f"before trusting these metrics")
+        return result, progress
     return result
 
 

@@ -16,9 +16,15 @@ from .source import events_stream as _events_stream
 
 
 def stream_click_purchase_join(spark: SparkSession, sf_dir: str,
-                               lookback_minutes: int = 60) -> DataFrame:
-    """Purchases joined to same-user clicks within the lookback window."""
-    ev = _events_stream(spark, sf_dir)
+                               lookback_minutes: int = 60,
+                               src: DataFrame | None = None) -> DataFrame:
+    """Purchases joined to same-user clicks within the lookback window.
+
+    ``src`` overrides the fixture-directory source with any
+    events-shaped streaming DataFrame — the throughput soak
+    (scripts/stream_throughput.py) injects the paced monotone file
+    feed; production would inject a Kafka source the same way."""
+    ev = src if src is not None else _events_stream(spark, sf_dir)
     clicks = (ev.filter(F.col("event_type") == "click")
               .select(F.col("user_id").alias("c_user"),
                       F.col("event_id").alias("click_id"),

@@ -48,9 +48,15 @@ def _fold_totals(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
     })
 
 
-def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming running (event-count, value-sum) per event_type."""
-    src = events_stream(spark, sf_dir)
+def stream_running_totals(spark: SparkSession, sf_dir: str,
+                          src: DataFrame | None = None) -> DataFrame:
+    """Streaming running (event-count, value-sum) per event_type.
+
+    ``src`` overrides the fixture-directory source (see
+    joins.stream_click_purchase_join — same injection pattern, used by
+    the throughput soak to pace micro-batches)."""
+    if src is None:
+        src = events_stream(spark, sf_dir)
     return (src.groupBy("event_type")
             .applyInPandasWithState(
                 _fold_totals, OUTPUT_SCHEMA, STATE_SCHEMA,

@@ -87,7 +87,13 @@ def main() -> None:
         # polluting throughput multiples with a layout artifact no real
         # lake has.  Target ~64 groups per table, capped at the DuckDB
         # default so already-fine tables (lineitem: 312 groups) keep it.
-        rgs = min(122_880, max(4_096, (base_rows * max(copies, 1)) // 64))
+        # size groups from the rows THIS branch actually writes: keyless
+        # tables (region/nation) are copied once regardless of `copies`,
+        # so using base_rows*copies for them overshot the ~64-group
+        # target by the copy factor (ADVICE r6 — harmless only because
+        # those dims are tiny)
+        out_rows = base_rows if not keys else base_rows * max(copies, 1)
+        rgs = min(122_880, max(4_096, out_rows // 64))
         if not keys:
             con.execute(f"COPY (SELECT * FROM read_parquet('{path}')) TO "
                         f"'{out}/{table}.parquet' "
