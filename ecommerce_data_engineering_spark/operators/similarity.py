@@ -147,27 +147,40 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                     probe_hamming: int = 0) -> DataFrame:
     """Approximate top-k: exact cosine restricted to same-bucket pairs.
 
-    ``probe_hamming=1`` enables multi-probe: each QUERY additionally
-    probes every bucket at Hamming distance 1 from its own signature
-    (flip one bit), recovering neighbors that fell just across a
-    hyperplane.  Candidate volume grows ×(1+H) on the query side only —
-    the corpus is still bucketed once, so the production recall knob
-    costs |Q|·H extra probe rows, never a second corpus pass.
+    ``probe_hamming=r`` enables multi-probe: each QUERY additionally
+    probes every bucket within Hamming distance r of its own signature
+    (every subset of ≤ r bit flips), recovering neighbors that fell
+    just across one or two hyperplanes.  Candidate volume grows
+    ×Σ_{i≤r} C(H,i) on the QUERY side only — the corpus is still
+    bucketed once, so the production recall knob costs O(|Q|·H^r)
+    extra probe rows, never a second corpus pass.  r is capped at H
+    (flipping every bit) where the probe set is the whole keyspace.
     """
+    from itertools import combinations
+
     qb = hyperplane_sign_bits(
         with_norm(queries, vec_col), vec_col, num_planes, dim
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
              F.col("norm").alias("q_norm"), "bucket")
     if probe_hamming >= 1:
-        flips = [
-            F.concat(
-                F.substring("bucket", 1, p),
-                F.when(F.substring("bucket", p + 1, 1) == "1", F.lit("0"))
-                 .otherwise(F.lit("1")),
-                F.substring("bucket", p + 2, num_planes - p - 1),
-            )
-            for p in range(num_planes)
-        ]
+        def flipped(positions: tuple[int, ...]):
+            out, cursor = [], 0
+            for p in positions:
+                if p > cursor:
+                    out.append(F.substring("bucket", cursor + 1, p - cursor))
+                out.append(
+                    F.when(F.substring("bucket", p + 1, 1) == "1",
+                           F.lit("0")).otherwise(F.lit("1")))
+                cursor = p + 1
+            if cursor < num_planes:
+                out.append(F.substring("bucket", cursor + 1,
+                                       num_planes - cursor))
+            return F.concat(*out)
+
+        radius = min(probe_hamming, num_planes)
+        flips = [flipped(combo)
+                 for r in range(1, radius + 1)
+                 for combo in combinations(range(num_planes), r)]
         qb = (qb.withColumn("bucket",
                             F.explode(F.array(F.col("bucket"), *flips))))
     cb = hyperplane_sign_bits(

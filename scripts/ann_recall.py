@@ -148,6 +148,37 @@ def main() -> None:
             print(f"{label}: ivf nprobe={nprobe} recall@5 = "
                   f"{sweep[str(nprobe)]}", flush=True)
 
+        # LSH lever frontier: the two orthogonal recall knobs the
+        # operators expose (operators/similarity.py) — probe_hamming
+        # widens each QUERY's probe set (cost O(|Q|·H) extra rows),
+        # num_tables adds independent plane sets (candidate volume
+        # linear in L).  Recorded so capacity planning can pick the
+        # cheapest lever for a recall target instead of guessing.
+        from pyspark.sql import functions as SF
+
+        from ecommerce_data_engineering_spark.operators import (
+            similarity as S)
+        from ecommerce_data_engineering_spark.plans.extensions import (
+            ANN_K, ANN_PLANES, ANN_QUERY_LIMIT, EMB_DIM)
+        from ecommerce_data_engineering_spark.sources.readers import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        qs = emb.filter(SF.col("vec_id") < ANN_QUERY_LIMIT)
+        probe_sweep = {}
+        for ph in (0, 1, 2):
+            sets = _topk_sets(S.lsh_cosine_topk(
+                emb, qs, ANN_K, EMB_DIM, ANN_PLANES, probe_hamming=ph))
+            probe_sweep[str(ph)] = round(_recall(sets, exact), 4)
+            print(f"{label}: lsh probe_hamming={ph} recall@5 = "
+                  f"{probe_sweep[str(ph)]}", flush=True)
+        table_sweep = {}
+        for nt in (1, 2, 4):
+            sets = _topk_sets(S.lsh_cosine_topk_multitable(
+                emb, qs, ANN_K, EMB_DIM, ANN_PLANES, num_tables=nt))
+            table_sweep[str(nt)] = round(_recall(sets, exact), 4)
+            print(f"{label}: lsh num_tables={nt} recall@5 = "
+                  f"{table_sweep[str(nt)]}", flush=True)
+
         def pair_set(name: str) -> set[tuple[int, int]]:
             return {(r["id_a"], r["id_b"]) for r in
                     REGISTRY[name].fn(spark, sf_dir)
@@ -166,6 +197,8 @@ def main() -> None:
             "n_queries": len(exact),
             "ann": ann,
             "ivf_nprobe_recall": sweep,
+            "lsh_probe_hamming_recall": probe_sweep,
+            "lsh_num_tables_recall": table_sweep,
             "minhash_vs_exhaustive_jaccard": {
                 "exact_pairs": len(exact_pairs),
                 "lsh_pairs": len(lsh_pairs),

@@ -69,6 +69,26 @@ def main() -> None:
             print(f"STREAM_BENCH.json: {rec['rows']} rows, "
                   f"{rec['rows_per_sec_wall']} rows/s wall, "
                   f"stream==batch {rec['streamed_equals_batch']}")
+    # r7 artifacts under the same staleness rule: if they exist, SCALE.md
+    # must cite them next to the numbers they back (content-level floors
+    # are asserted by tests/test_recall_evidence.py for RECALL.json)
+    recall = os.path.join(HERE, "RECALL.json")
+    if os.path.exists(recall):
+        rec = json.load(open(recall))
+        if "RECALL.json" not in md:
+            bad.append("RECALL.json: not cited in SCALE.md")
+        else:
+            print(f"RECALL.json: {len(rec['fixtures'])} fixtures, "
+                  f"k={rec['k']}, {len(rec['ann_variants'])} ANN variants")
+    bbench = os.path.join(HERE, "BUCKET_BENCH.json")
+    if os.path.exists(bbench):
+        rec = json.load(open(bbench))
+        if "BUCKET_BENCH.json" not in md:
+            bad.append("BUCKET_BENCH.json: not cited in SCALE.md")
+        else:
+            print(f"BUCKET_BENCH.json: {rec['fixture']} "
+                  f"{rec['join_sec_unbucketed']}s -> "
+                  f"{rec['join_sec_bucketed']}s bucketed")
     if bad:
         sys.exit("STALE/RED scale evidence:\n  " + "\n  ".join(bad))
     print(f"scale evidence fresh: {len(records)} records, all green, "

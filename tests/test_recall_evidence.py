@@ -70,6 +70,23 @@ def test_ivf_nprobe_recall_is_monotone_and_matches_registered(rec):
             fx["ann"]["embedding_ann_ivf_nprobe"]["recall_at_k"], label
 
 
+def test_lsh_lever_sweeps_are_monotone(rec):
+    """Widening either LSH lever can only ADD candidates, so recall is
+    nondecreasing in the Hamming-probe radius and in the table count;
+    both sweeps' base points must equal the plain single-table variant
+    (they are literally the same plan at radius 0 / L=1)."""
+    for label, fx in rec["fixtures"].items():
+        single = fx["ann"]["embedding_ann_lsh"]["recall_at_k"]
+        probes = [fx["lsh_probe_hamming_recall"][k]
+                  for k in sorted(fx["lsh_probe_hamming_recall"], key=int)]
+        tables = [fx["lsh_num_tables_recall"][k]
+                  for k in sorted(fx["lsh_num_tables_recall"], key=int)]
+        assert probes == sorted(probes), (label, probes)
+        assert tables == sorted(tables), (label, tables)
+        assert probes[0] == single and tables[0] == single, (
+            label, probes[0], tables[0], single)
+
+
 def test_minhash_pair_recall_floor_and_exactness(rec):
     """Banded MinHash at the registered parameters (8 hashes, 4 bands)
     must recover ≥95% of the true Jaccard ≥ t pairs, and can never emit
