@@ -151,6 +151,41 @@ def test_ann_recall_at_k_vs_exact(spark, sf_dir):
     assert r_np >= 0.2, (r_ivf, r_np)
 
 
+def test_multiprobe_radius_widens_candidates_supersetwise(spark, sf_dir):
+    """probe_hamming=r probes every bucket within Hamming distance r
+    (r7 generalization): each radius's RESULT per query must contain at
+    least the smaller radius's hits that survive top-k re-ranking, and
+    the probed-candidate set is a strict lever — recall is monotone in
+    r (the RECALL.json artifact records the measured curve; this pins
+    the structural property at fixture scale)."""
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.operators import similarity as S
+    from ecommerce_data_engineering_spark.plans.extensions import (
+        ANN_PLANES, ANN_QUERY_LIMIT, EMB_DIM)
+    from ecommerce_data_engineering_spark.sources import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)
+    # k large enough that re-ranking never evicts a found neighbor —
+    # then result sets themselves must be supersets as radius grows
+    big_k = 10_000
+    per_radius = []
+    for r in (0, 1, 2):
+        rows = S.lsh_cosine_topk(emb, qs, big_k, EMB_DIM, ANN_PLANES,
+                                 probe_hamming=r).collect()
+        found = {}
+        for row in rows:
+            found.setdefault(row.query_id, set()).add(row.neighbor_id)
+        per_radius.append(found)
+    for smaller, larger in zip(per_radius, per_radius[1:]):
+        for q, nbrs in smaller.items():
+            assert nbrs <= larger.get(q, set()), q
+    # radius 2 must genuinely add candidates beyond radius 1 somewhere
+    n1 = sum(len(v) for v in per_radius[1].values())
+    n2 = sum(len(v) for v in per_radius[2].values())
+    assert n2 > n1, (n1, n2)
+
+
 def test_deterministic_sampling_properties(spark, sf_dir):
     """Sampling/split invariants that matter for training pipelines:
     membership is a pure function of the id (stable under corpus
