@@ -394,7 +394,9 @@ SHUFFLE_BUDGET = {
     "daily_sales": (2, 0),
     "dedup_minhash_lsh": (11, 5),
     "embedding_ann_lsh": (1, 1),
-    "embedding_cosine_topk": (1, 1),
+    # embedding_cosine_topk left the bench set in r7 (VERDICT r6 #2:
+    # deliberately-quadratic exact yardstick dominated the scaled
+    # bench); its (1, 1) structural pin moves to EXTRA_BUDGET below.
     "events_hourly_rollup": (2, 0),
     "events_sessionization": (1, 0),
     "fact_lineitem_build": (0, 4),
@@ -407,12 +409,21 @@ SHUFFLE_BUDGET = {
     "top_revenue_orders": (1, 2),
 }
 
+# Structural pins for queries OUTSIDE the bench set that still deserve
+# an exchange-count regression guard (currently: the demoted exact
+# cosine yardstick — not a headline number anymore, but its plan shape
+# should not silently grow a shuffle either).
+EXTRA_BUDGET = {
+    "embedding_cosine_topk": (1, 1),
+}
+
 
 def test_bench_queries_hold_their_shuffle_budget(spark, sf_dir):
     from ecommerce_data_engineering_spark.plans import REGISTRY
 
     over = {}
-    for name, (n_shuffle, n_bcast) in SHUFFLE_BUDGET.items():
+    for name, (n_shuffle, n_bcast) in {**SHUFFLE_BUDGET,
+                                       **EXTRA_BUDGET}.items():
         df = REGISTRY[name].fn(spark, sf_dir)
         got = _tree_exchange_counts(df)
         if got != (n_shuffle, n_bcast):
