@@ -209,7 +209,9 @@ def main() -> None:
         spark.catalog.clearCache()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "RECALL.json"), "w") as f:
+    evid = os.path.join(here, "evidence")
+    os.makedirs(evid, exist_ok=True)
+    with open(os.path.join(evid, "RECALL.json"), "w") as f:
         json.dump(rec, f, indent=1)
     print("wrote RECALL.json")
     spark.stop()

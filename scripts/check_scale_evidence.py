@@ -3,7 +3,8 @@ fresh in SCALE.md — one command for the verify recipe instead of a
 growing pile of inline snippets (r4 lesson: evidence records go stale
 silently while the unit/oracle suites stay green).
 
-Checks every SCALE_SWEEP*.json at the repo root:
+Checks every SCALE_SWEEP*.json under evidence/ (the records moved off
+the repo root in r7; SCALE.md carries the index):
 
 - ``n_failed == 0`` (a recorded failure is a red build, full stop);
 - SCALE.md cites the record by filename (so a new record can't land
@@ -23,11 +24,20 @@ import os
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EVID = os.path.join(HERE, "evidence")
 
 
 def main() -> None:
     md = open(os.path.join(HERE, "SCALE.md")).read()
-    records = sorted(glob.glob(os.path.join(HERE, "SCALE_SWEEP*.json")))
+    records = sorted(glob.glob(os.path.join(EVID, "SCALE_SWEEP*.json")))
+    # a record at the repo root is a write from pre-r7 tooling (or an
+    # in-flight sweep started before the move) — surface it instead of
+    # silently checking two homes forever
+    strays = sorted(glob.glob(os.path.join(HERE, "SCALE_SWEEP*.json")))
+    for s in strays:
+        print(f"NOTE: {os.path.basename(s)} sits at the repo root — "
+              f"move it under evidence/")
+    records += strays
     if not records:
         sys.exit("no SCALE_SWEEP*.json records found")
     bad = []
@@ -50,7 +60,7 @@ def main() -> None:
     # the Spark-side throughput record (SCALE_BENCH.json, r6) is not a
     # sweep — no pass/fail — but the same staleness rule applies: if it
     # exists it must be cited in SCALE.md next to the numbers it backs
-    tput = os.path.join(HERE, "SCALE_BENCH.json")
+    tput = os.path.join(EVID, "SCALE_BENCH.json")
     if os.path.exists(tput):
         if "SCALE_BENCH.json" not in md:
             bad.append("SCALE_BENCH.json: not cited in SCALE.md")
@@ -58,7 +68,7 @@ def main() -> None:
             rec = json.load(open(tput))
             print(f"SCALE_BENCH.json: {len(rec['runs'])} fixture runs "
                   f"({', '.join(rec['runs'])})")
-    sbench = os.path.join(HERE, "STREAM_BENCH.json")
+    sbench = os.path.join(EVID, "STREAM_BENCH.json")
     if os.path.exists(sbench):
         rec = json.load(open(sbench))
         if not rec.get("streamed_equals_batch"):
@@ -72,7 +82,7 @@ def main() -> None:
     # r7 artifacts under the same staleness rule: if they exist, SCALE.md
     # must cite them next to the numbers they back (content-level floors
     # are asserted by tests/test_recall_evidence.py for RECALL.json)
-    recall = os.path.join(HERE, "RECALL.json")
+    recall = os.path.join(EVID, "RECALL.json")
     if os.path.exists(recall):
         rec = json.load(open(recall))
         if "RECALL.json" not in md:
@@ -80,7 +90,7 @@ def main() -> None:
         else:
             print(f"RECALL.json: {len(rec['fixtures'])} fixtures, "
                   f"k={rec['k']}, {len(rec['ann_variants'])} ANN variants")
-    bbench = os.path.join(HERE, "BUCKET_BENCH.json")
+    bbench = os.path.join(EVID, "BUCKET_BENCH.json")
     if os.path.exists(bbench):
         rec = json.load(open(bbench))
         if "BUCKET_BENCH.json" not in md:

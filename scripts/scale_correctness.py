@@ -157,7 +157,9 @@ def main() -> None:
     if only is None or tag:
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         rec_name = f"SCALE_SWEEP_{tag}.json" if tag else "SCALE_SWEEP.json"
-        rec_path = os.path.join(here, rec_name)
+        evid = os.path.join(here, "evidence")     # records live under
+        os.makedirs(evid, exist_ok=True)          # evidence/ since r7
+        rec_path = os.path.join(evid, rec_name)
         if os.path.exists(rec_path) and not force:
             with open(rec_path) as f:
                 prev = json.load(f)

@@ -26,7 +26,7 @@ own progress metrics provide per-batch input rows and durations.
 Every scenario's streamed result must equal its batch twin or the
 script exits 1 and writes no record.
 
-Writes STREAM_BENCH.json at the repo root; SCALE.md quotes it and
+Writes evidence/STREAM_BENCH.json; SCALE.md quotes it and
 scripts/check_scale_evidence.py asserts the citation stays fresh.
 """
 
@@ -267,7 +267,9 @@ def main() -> None:
     if red:
         sys.exit(f"STREAMED RESULT != BATCH for {red} — no record written")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rec_path = os.path.join(here, "STREAM_BENCH.json")
+    evid = os.path.join(here, "evidence")
+    os.makedirs(evid, exist_ok=True)
+    rec_path = os.path.join(evid, "STREAM_BENCH.json")
     # same clobber guard as scale_correctness.py (ADVICE r5): a
     # spot-check from a smaller fixture must not silently replace the
     # authoritative record made from a different one

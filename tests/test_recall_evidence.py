@@ -21,7 +21,7 @@ import os
 import pytest
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PATH = os.path.join(HERE, "RECALL.json")
+PATH = os.path.join(HERE, "evidence", "RECALL.json")
 
 
 @pytest.fixture(scope="module")

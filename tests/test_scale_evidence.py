@@ -16,6 +16,7 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EVID = os.path.join(HERE, "evidence")
 
 
 def test_every_sweep_record_green_and_cited():
@@ -27,7 +28,7 @@ def test_every_sweep_record_green_and_cited():
 
 
 def test_untagged_record_is_the_authoritative_full_sweep():
-    rec = json.load(open(os.path.join(HERE, "SCALE_SWEEP.json")))
+    rec = json.load(open(os.path.join(EVID, "SCALE_SWEEP.json")))
     # pre-r6 records predate the subset field; absent means full
     assert rec.get("subset", "full") == "full" and rec["all"] is True
     assert not rec["skipped"], (
@@ -37,7 +38,7 @@ def test_untagged_record_is_the_authoritative_full_sweep():
 def test_seed_records_cover_full_registry():
     # seed-robustness sweeps (VERDICT r5 #3) rerun the FULL suite per
     # seeded fixture; a subset run would silently weaken the claim
-    for path in glob.glob(os.path.join(HERE, "SCALE_SWEEP_seed*.json")):
+    for path in glob.glob(os.path.join(EVID, "SCALE_SWEEP_seed*.json")):
         rec = json.load(open(path))
         assert rec["subset"] == "full" and rec["all"] is True, path
 
@@ -53,18 +54,43 @@ def test_scaled_fixture_records_cover_the_bench_set():
     bench = {n for n, s in REGISTRY.items()
              if s.bench and s.oracle is not None}
 
-    rec16 = json.load(open(os.path.join(HERE, "SCALE_SWEEP_16x.json")))
+    rec16 = json.load(open(os.path.join(EVID, "SCALE_SWEEP_16x.json")))
     assert rec16["subset"] == "bench" and rec16["n_ok"] == len(bench)
 
-    rec64 = json.load(open(os.path.join(HERE, "SCALE_SWEEP_64x.json")))
+    rec64 = json.load(open(os.path.join(EVID, "SCALE_SWEEP_64x.json")))
     ran64 = set(rec64["subset"].removeprefix("only:").split(","))
     # documented in SCALE.md: oracle cost (not Spark cost) excludes
-    # the full-fact-re-emitting twins at 64x
-    assert bench - ran64 == {"fact_lineitem_build", "events_sessionization"}
+    # the full-fact-re-emitting twins at 64x.  Exact set equality
+    # (ADVICE r6): a record listing extra, renamed, or removed query
+    # names must fail rather than still read as bench coverage.
+    assert ran64 == bench - {"fact_lineitem_build",
+                             "events_sessionization"}, (
+        sorted(ran64.symmetric_difference(bench)))
     assert rec64["n_ok"] == len(ran64)
 
-    pairs = json.load(open(os.path.join(HERE, "SCALE_SWEEP_16x_pairs.json")))
+    pairs = json.load(open(os.path.join(EVID, "SCALE_SWEEP_16x_pairs.json")))
     assert set(pairs["subset"].removeprefix("only:").split(",")) == {
         "dedup_clusters", "dedup_jaccard_prefix",
         "dedup_ngram_jaccard", "dedup_simhash_pairs"} \
         and pairs["n_ok"] == 4 and pairs["all"] is True
+
+
+def test_16x_full_registry_record_covers_everything_tractable():
+    """VERDICT r6 #4: the FULL registry verifies at 16x, not just the
+    bench subset — every oracled query runs except the six
+    quadratic-oracle pair-emitters (skipped with an explicit list in
+    the record; four of those six are separately verified at 16x by
+    the _16x_pairs record, the two embedding all-pairs oracles are
+    excluded by single-node oracle cost with the bound documented in
+    SCALE.md)."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    rec = json.load(open(os.path.join(EVID, "SCALE_SWEEP_16x_full.json")))
+    assert rec["subset"] == "full" and rec["n_failed"] == 0
+    oracled = {n for n, s in REGISTRY.items() if s.oracle is not None}
+    skipped = set(rec["skipped"])
+    assert skipped == {
+        "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_clusters",
+        "dedup_simhash_pairs", "dedup_embedding_cosine",
+        "dedup_embedding_clusters"}
+    assert rec["n_ok"] == len(oracled - skipped)
