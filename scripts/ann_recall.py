@@ -179,6 +179,58 @@ def main() -> None:
             print(f"{label}: lsh num_tables={nt} recall@5 = "
                   f"{table_sweep[str(nt)]}", flush=True)
 
+        # What the k-means trainer buys: rerun IVF nprobe=1/2 with
+        # Lloyd's-refined centroids (operators/similarity.kmeans_refine,
+        # the embedding_ivf_kmeans query's kernel) instead of the raw
+        # deterministic seeds — training the quantizer tightens cells,
+        # so recall at the SAME probe budget should not degrade and
+        # usually improves.  Measured here rather than registered as a
+        # query because the iterative trainer is not SQL-expressible.
+        from ecommerce_data_engineering_spark.operators.similarity import (
+            ivf_assign, kmeans_refine)
+        from ecommerce_data_engineering_spark.plans.extensions import (
+            IVF_K, IVF_SEED_STEP)
+
+        seeds = (emb.filter((SF.col("vec_id") % IVF_SEED_STEP == 0)
+                            & (SF.col("vec_id") < IVF_K * IVF_SEED_STEP))
+                 .select((SF.col("vec_id") / IVF_SEED_STEP).cast("int")
+                         .alias("cluster_id"), "embedding"))
+        trained = kmeans_refine(emb, seeds, n_iter=3)
+        trained_sweep = {}
+        for nprobe in (1, 2):
+            corpus_cells = ivf_assign(S.with_norm(emb), trained)
+            query_cells = ivf_assign(S.with_norm(qs), trained,
+                                     nprobe=nprobe)
+            from ecommerce_data_engineering_spark.functions.rounding import (
+                pround)
+            q = query_cells.select(SF.col("vec_id").alias("query_id"),
+                                   SF.col("embedding").alias("q_vec"),
+                                   SF.col("norm").alias("q_norm"),
+                                   "cluster_id")
+            c = corpus_cells.select(SF.col("vec_id").alias("neighbor_id"),
+                                    SF.col("embedding").alias("c_vec"),
+                                    SF.col("norm").alias("c_norm"),
+                                    "cluster_id")
+            dot = SF.aggregate(
+                SF.zip_with(SF.col("q_vec"), SF.col("c_vec"),
+                            lambda x, y: x.cast("double") * y.cast("double")),
+                SF.lit(0.0), lambda acc, x: acc + x)
+            from pyspark.sql import Window
+            sims = (q.join(c, "cluster_id")
+                    .filter(SF.col("query_id") != SF.col("neighbor_id"))
+                    .withColumn("cosine", pround(
+                        dot / (SF.col("q_norm") * SF.col("c_norm")), 6))
+                    .select("query_id", "neighbor_id", "cosine")
+                    .dropDuplicates(["query_id", "neighbor_id"]))
+            w = Window.partitionBy("query_id").orderBy(
+                SF.desc("cosine"), SF.asc("neighbor_id"))
+            sets = _topk_sets(
+                sims.withColumn("rn", SF.row_number().over(w))
+                .filter(SF.col("rn") <= ANN_K))
+            trained_sweep[str(nprobe)] = round(_recall(sets, exact), 4)
+            print(f"{label}: ivf TRAINED nprobe={nprobe} recall@5 = "
+                  f"{trained_sweep[str(nprobe)]}", flush=True)
+
         def pair_set(name: str) -> set[tuple[int, int]]:
             return {(r["id_a"], r["id_b"]) for r in
                     REGISTRY[name].fn(spark, sf_dir)
@@ -199,6 +251,7 @@ def main() -> None:
             "ivf_nprobe_recall": sweep,
             "lsh_probe_hamming_recall": probe_sweep,
             "lsh_num_tables_recall": table_sweep,
+            "ivf_trained_centroid_recall": trained_sweep,
             "minhash_vs_exhaustive_jaccard": {
                 "exact_pairs": len(exact_pairs),
                 "lsh_pairs": len(lsh_pairs),

@@ -87,6 +87,19 @@ def test_lsh_lever_sweeps_are_monotone(rec):
             label, probes[0], tables[0], single)
 
 
+def test_trained_centroids_do_not_degrade_ivf_recall(rec):
+    """kmeans_refine exists to tighten IVF cells: at the SAME probe
+    budget, recall with Lloyd's-trained centroids must not fall below
+    the deterministic-seed recall (small tolerance — k-means optimizes
+    WCSS, not recall, so per-query reshuffles can cost a hair)."""
+    for label, fx in rec["fixtures"].items():
+        trained = fx["ivf_trained_centroid_recall"]
+        seeded = fx["ivf_nprobe_recall"]
+        for nprobe in trained:
+            assert trained[nprobe] >= seeded[nprobe] - 0.02, (
+                label, nprobe, trained[nprobe], seeded[nprobe])
+
+
 def test_minhash_pair_recall_floor_and_exactness(rec):
     """Banded MinHash at the registered parameters (8 hashes, 4 bands)
     must recover ≥95% of the true Jaccard ≥ t pairs, and can never emit
