@@ -1,0 +1,65 @@
+#!/bin/bash
+# Regenerate every machine evidence record under evidence/ from scratch.
+#
+# Run pieces selectively — the full script is hours (the quadratic
+# single-node DuckDB oracles dominate; Spark is never the bottleneck).
+# Measurement steps (4-7) need an OTHERWISE IDLE box: concurrent sweeps
+# poison bench medians (correctness sweeps 1-3 only cost wall time).
+#
+# Fixture derivation first — driver testdata regenerates every round,
+# so derived fixtures must be rebuilt before any sweep that reads them.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+export SPARK_DRIVER_MEMORY="${SPARK_DRIVER_MEMORY:-24g}"
+
+echo "== fixtures =="
+python scripts/make_scaled_fixture.py /tmp/sf_synth 4
+python scripts/make_scaled_fixture.py /tmp/sf_16x 16
+python scripts/make_scaled_fixture.py /tmp/sf_64x 64
+python scripts/make_skewed_fixture.py /tmp/sf_skew01
+python scripts/make_seeded_fixture.py /tmp/sf_seed1 1
+python scripts/make_seeded_fixture.py /tmp/sf_seed2 2
+python scripts/make_seeded_fixture.py /tmp/sf_seed3 3
+python scripts/make_rowgrouped_fixture.py /tmp/sf0.1_rg8 8 /root/testdata/sf0.1
+
+echo "== 1. correctness sweeps (full suites; ~1-3h each with --all) =="
+python scripts/scale_correctness.py /tmp/sf_synth --all --force
+python scripts/scale_correctness.py /root/testdata/sf0.1 --all --tag=sf01 --force
+python scripts/scale_correctness.py /tmp/sf_skew01 --all --tag=skew --force
+for s in 1 2 3; do
+  python scripts/scale_correctness.py /tmp/sf_seed$s --all --tag=seed$s --force
+done
+
+echo "== 2. frontier sweeps (16x / 64x) =="
+python scripts/scale_correctness.py /tmp/sf_16x --bench --tag=16x --force
+python scripts/scale_correctness.py /tmp/sf_16x --tag=16x_full --force
+python scripts/scale_correctness.py /tmp/sf_16x --all \
+  --only dedup_clusters,dedup_jaccard_prefix,dedup_ngram_jaccard,dedup_simhash_pairs \
+  --tag=16x_pairs --force
+# 64x: bench minus the two oracle-cost exclusions (list must mirror
+# tests/test_scale_evidence.py::test_scaled_fixture_records_cover_the_bench_set)
+python - <<'EOF' > /tmp/b64.txt
+from ecommerce_data_engineering_spark.plans import REGISTRY
+names = sorted(n for n, s in REGISTRY.items() if s.bench
+               and n not in ("fact_lineitem_build", "events_sessionization"))
+print(",".join(names))
+EOF
+python scripts/scale_correctness.py /tmp/sf_64x --only "$(cat /tmp/b64.txt)" --tag=64x --force
+
+echo "== 3. recall vs exact yardsticks =="
+python scripts/ann_recall.py sf0.1=/root/testdata/sf0.1 16x=/tmp/sf_16x
+
+echo "== 4. Spark-side throughput (IDLE BOX) =="
+python scripts/make_scale_bench.py
+
+echo "== 5. streaming soak (IDLE BOX) =="
+python scripts/stream_throughput.py /tmp/sf_64x 32 --force
+
+echo "== 6. bucketed-join delta (IDLE BOX) =="
+python scripts/bucketed_join_bench.py /tmp/sf_64x
+
+echo "== 7. scaling ladder (IDLE BOX; table quoted in SCALE.md) =="
+python scripts/bench_scaling.py 0.1=/tmp/sf0.1_rg8
+
+echo "== assert everything green and cited =="
+python scripts/check_scale_evidence.py
