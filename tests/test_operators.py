@@ -151,6 +151,52 @@ def test_ann_recall_at_k_vs_exact(spark, sf_dir):
     assert r_np >= 0.2, (r_ivf, r_np)
 
 
+def test_multiprobe_flip_expressions_match_python_reference(spark):
+    """The Hamming-probe bucket strings are built by a substring/concat
+    combinator over ≤r-bit flip combinations (operators/similarity.py
+    `flipped`); pin it against a plain-Python reference at several
+    plane counts so an off-by-one at an untested H can't ship."""
+    from itertools import combinations
+
+    from ecommerce_data_engineering_spark.operators import similarity as S
+
+    for num_planes in (1, 2, 3, 6, 8):
+        emb = spark.createDataFrame(
+            [(i, [float(i + j) for j in range(4)]) for i in range(6)],
+            "vec_id int, embedding array<double>")
+        qb = S.hyperplane_sign_bits(S.with_norm(emb), "embedding",
+                                    num_planes, 4)
+        base = {r["vec_id"]: r["bucket"] for r in qb.collect()}
+        probed = S.lsh_cosine_topk(emb, emb, k=1, dim=4,
+                                   num_planes=num_planes, probe_hamming=2)
+        # reproduce the expected probe set in plain Python and assert
+        # the OPERATOR result only pairs a query with neighbors whose
+        # bucket lies inside it
+        got = {}
+        radius = min(2, num_planes)
+        for vid, b in base.items():
+            want = {b}
+            for r in range(1, radius + 1):
+                for combo in combinations(range(num_planes), r):
+                    s = list(b)
+                    for p in combo:
+                        s[p] = "0" if s[p] == "1" else "1"
+                    want.add("".join(s))
+            got[vid] = want
+        # every (query, neighbor) the operator emits must share a
+        # bucket within Hamming radius 2 of the query's signature
+        for row in probed.collect():
+            qb_, nb_ = base[row.query_id], base[row.neighbor_id]
+            assert nb_ in got[row.query_id], (
+                num_planes, row.query_id, row.neighbor_id, qb_, nb_)
+        # and when the radius covers the whole keyspace every pair is
+        # a candidate: with H <= 2, radius 2 flips all planes, so each
+        # query must find SOME neighbor (k=1, 6 vectors, no zero norms)
+        if num_planes <= 2:
+            assert probed.select("query_id").distinct().count() == 6, (
+                num_planes)
+
+
 def test_multiprobe_radius_widens_candidates_supersetwise(spark, sf_dir):
     """probe_hamming=r probes every bucket within Hamming distance r
     (r7 generalization): each radius's RESULT per query must contain at
