@@ -91,17 +91,21 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
         # (default 100): a feed with more micro-batches than the cap
         # would silently DROP the earliest entries, under-counting
         # input rows while the record still reads as complete (ADVICE
-        # r6) — a full buffer is therefore an error here, not a result.
+        # r6).  Detect actual loss, not buffer fullness: the surviving
+        # batchId sequence must be contiguous AND start at batch 0 —
+        # a feed that produced exactly `cap` micro-batches loses
+        # nothing and must pass (ADVICE r7).
         progress = list(q.recentProgress)
-        cap = int(spark.conf.get(
-            "spark.sql.streaming.numRecentProgressUpdates", "100"))
-        if len(progress) >= cap:
+        batch_ids = [p["batchId"] for p in progress]
+        expected = list(range(len(batch_ids)))
+        if batch_ids != expected:
             raise RuntimeError(
-                f"streaming query {name!r} produced >= {cap} progress "
-                f"updates — the recentProgress ring buffer overflowed "
-                f"and early batches are gone; raise spark.sql.streaming."
-                f"numRecentProgressUpdates above the micro-batch count "
-                f"before trusting these metrics")
+                f"streaming query {name!r}: recentProgress batchIds "
+                f"{batch_ids[:3]}..{batch_ids[-3:]} are not the "
+                f"contiguous 0-based sequence — the ring buffer "
+                f"(spark.sql.streaming.numRecentProgressUpdates) "
+                f"dropped early batches; raise it above the "
+                f"micro-batch count before trusting these metrics")
         return result, progress
     return result
 

@@ -61,10 +61,17 @@ def _recall(ann: dict[int, set[int]], exact: dict[int, set[int]]) -> float:
     return total / len(exact)
 
 
-def _ivf_nprobe_topk(spark, sf_dir: str, nprobe: int):
+def _ivf_nprobe_topk(spark, sf_dir: str, nprobe: int, centroids=None,
+                     ivf_k=None, seed_step=None):
     """The registered embedding_ann_ivf_nprobe plan with a parametric
     nprobe — same seed centroids, same kernels (plans/extensions.py
-    `embedding_ann_ivf_nprobe` is exactly this with nprobe=2)."""
+    `embedding_ann_ivf_nprobe` is exactly this with nprobe=2).
+
+    ``centroids`` overrides the seed-centroid table (the kmeans_refine
+    sweep passes trained centroids here, ADVICE r7 — one shared
+    join/rank implementation, no inline re-derivation that can drift).
+    ``ivf_k``/``seed_step`` override the seed grid (the production
+    operating-point sweep uses a finer cell grid)."""
     from pyspark.sql import Window, functions as F
 
     from ecommerce_data_engineering_spark.functions.rounding import pround
@@ -74,11 +81,14 @@ def _ivf_nprobe_topk(spark, sf_dir: str, nprobe: int):
         ANN_K, ANN_QUERY_LIMIT, IVF_K, IVF_SEED_STEP)
     from ecommerce_data_engineering_spark.sources.readers import load
 
+    ivf_k = IVF_K if ivf_k is None else ivf_k
+    seed_step = IVF_SEED_STEP if seed_step is None else seed_step
     emb = load(spark, sf_dir, "embeddings")
-    centroids = (emb.filter((F.col("vec_id") % IVF_SEED_STEP == 0)
-                            & (F.col("vec_id") < IVF_K * IVF_SEED_STEP))
-                 .select((F.col("vec_id") / IVF_SEED_STEP).cast("int")
-                         .alias("cluster_id"), "embedding"))
+    if centroids is None:
+        centroids = (emb.filter((F.col("vec_id") % seed_step == 0)
+                                & (F.col("vec_id") < ivf_k * seed_step))
+                     .select((F.col("vec_id") / seed_step).cast("int")
+                             .alias("cluster_id"), "embedding"))
     corpus_cells = ivf_assign(S.with_norm(emb), centroids)
     query_cells = ivf_assign(
         S.with_norm(emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)),
@@ -198,35 +208,8 @@ def main() -> None:
         trained = kmeans_refine(emb, seeds, n_iter=3)
         trained_sweep = {}
         for nprobe in (1, 2):
-            corpus_cells = ivf_assign(S.with_norm(emb), trained)
-            query_cells = ivf_assign(S.with_norm(qs), trained,
-                                     nprobe=nprobe)
-            from ecommerce_data_engineering_spark.functions.rounding import (
-                pround)
-            q = query_cells.select(SF.col("vec_id").alias("query_id"),
-                                   SF.col("embedding").alias("q_vec"),
-                                   SF.col("norm").alias("q_norm"),
-                                   "cluster_id")
-            c = corpus_cells.select(SF.col("vec_id").alias("neighbor_id"),
-                                    SF.col("embedding").alias("c_vec"),
-                                    SF.col("norm").alias("c_norm"),
-                                    "cluster_id")
-            dot = SF.aggregate(
-                SF.zip_with(SF.col("q_vec"), SF.col("c_vec"),
-                            lambda x, y: x.cast("double") * y.cast("double")),
-                SF.lit(0.0), lambda acc, x: acc + x)
-            from pyspark.sql import Window
-            sims = (q.join(c, "cluster_id")
-                    .filter(SF.col("query_id") != SF.col("neighbor_id"))
-                    .withColumn("cosine", pround(
-                        dot / (SF.col("q_norm") * SF.col("c_norm")), 6))
-                    .select("query_id", "neighbor_id", "cosine")
-                    .dropDuplicates(["query_id", "neighbor_id"]))
-            w = Window.partitionBy("query_id").orderBy(
-                SF.desc("cosine"), SF.asc("neighbor_id"))
             sets = _topk_sets(
-                sims.withColumn("rn", SF.row_number().over(w))
-                .filter(SF.col("rn") <= ANN_K))
+                _ivf_nprobe_topk(spark, sf_dir, nprobe, centroids=trained))
             trained_sweep[str(nprobe)] = round(_recall(sets, exact), 4)
             print(f"{label}: ivf TRAINED nprobe={nprobe} recall@5 = "
                   f"{trained_sweep[str(nprobe)]}", flush=True)

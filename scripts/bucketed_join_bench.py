@@ -91,8 +91,17 @@ def main() -> None:
     def measure(o_name: str, l_name: str) -> tuple[float, list[float], str]:
         o, l = spark.table(o_name), spark.table(l_name)
         df = join_df(o, l)
+        # execute df's OWN queryExecution (the result is a ~5-row
+        # aggregate) so AQE finalizes it, THEN capture: with AQE on,
+        # executedPlan() before execution is the initial
+        # AdaptiveSparkPlan, not what actually ran — the exchange-count
+        # assertion must check the final adaptive plan (ADVICE r7).
+        # This also serves as the warm run.
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        df.write.format("noop").mode("overwrite").save()   # warm
+        assert "isFinalPlan=true" in plan, (
+            "plan capture raced AQE finalization — executed plan not "
+            "final:\n" + plan[:500])
         samples = [timed(lambda: join_df(spark.table(o_name),
                                          spark.table(l_name))
                          .write.format("noop").mode("overwrite").save())

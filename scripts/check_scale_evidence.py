@@ -30,17 +30,19 @@ EVID = os.path.join(HERE, "evidence")
 def main() -> None:
     md = open(os.path.join(HERE, "SCALE.md")).read()
     records = sorted(glob.glob(os.path.join(EVID, "SCALE_SWEEP*.json")))
-    # a record at the repo root is a write from pre-r7 tooling (or an
-    # in-flight sweep started before the move) — surface it instead of
-    # silently checking two homes forever
-    strays = sorted(glob.glob(os.path.join(HERE, "SCALE_SWEEP*.json")))
-    for s in strays:
-        print(f"NOTE: {os.path.basename(s)} sits at the repo root — "
-              f"move it under evidence/")
-    records += strays
     if not records:
         sys.exit("no SCALE_SWEEP*.json records found")
     bad = []
+    # a record at the repo root is a write from pre-r7 tooling (or an
+    # in-flight sweep started before the move).  It is an ERROR, not a
+    # note: a stale root duplicate sharing its basename with the
+    # evidence/ copy would otherwise pass the SCALE.md citation check
+    # and count as green evidence (ADVICE r7) — and it is NOT added to
+    # the checked record set.
+    for s in sorted(glob.glob(os.path.join(HERE, "SCALE_SWEEP*.json"))):
+        bad.append(f"{os.path.basename(s)}: sits at the repo root — "
+                   f"move it under evidence/ (root strays are not "
+                   f"counted as evidence)")
     for path in records:
         name = os.path.basename(path)
         rec = json.load(open(path))
