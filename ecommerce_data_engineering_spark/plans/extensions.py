@@ -11,6 +11,8 @@ plan so the two can't drift.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
@@ -1242,7 +1244,8 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the IVF coarse quantizer: 3 Lloyd's iterations from the
-    deterministic seed centroids (operators/similarity.kmeans_refine).
+    deterministic seed centroids (operators/similarity.
+    kmeans_refine_lazy).
 
     Verification contract (r5, the ``approx_distinct_users`` pattern —
     VERDICT r4 #3): the iteration itself is not SQL-expressible, but
@@ -1254,31 +1257,37 @@ def embedding_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hash-compare — the row verifies the algorithm's contract
     instead of merely running it.  Cell populations / centroid norms
     (training OUTCOMES, not invariants) stay pytest-pinned
-    (tests/test_operators.py, incl. run-to-run determinism).  The
-    per-iteration WCSS probes are O(k·d) driver state each, same
-    budget as kmeans_refine's own driver hop.
+    (tests/test_operators.py, incl. run-to-run determinism).
 
-    EAGER-CONSTRUCTION EXCEPTION (ADVICE r5): unlike every other
-    registered query, calling this function runs ~8 Spark jobs (the
-    WCSS collects + refine hops) during plan CONSTRUCTION and bakes
-    the flags into createDataFrame — bench/driver timing of this
-    query measures training, not just the returned plan."""
-    from ..operators.similarity import kmeans_refine, kmeans_wcss
+    LAZY since r8 (VERDICT r7 #3): the centroid chain stays a
+    DataFrame through every iteration (kmeans_refine_lazy) and the
+    per-iteration WCSS probes are lazy one-row aggregates
+    (kmeans_wcss_df) unioned and self-joined into the flag rows —
+    constructing this plan launches ZERO Spark jobs, the same
+    contract every other registered query honors
+    (tests/test_construction_budget.py pins it registry-wide)."""
+    from ..operators.similarity import kmeans_refine_lazy, kmeans_wcss_df
 
     emb = load(spark, sf_dir, "embeddings")
     seeds = (emb.filter((F.col("vec_id") % IVF_SEED_STEP == 0)
                         & (F.col("vec_id") < IVF_K * IVF_SEED_STEP))
              .select((F.col("vec_id") / IVF_SEED_STEP).cast("int")
                      .alias("cluster_id"), "embedding"))
-    wcss = [kmeans_wcss(emb, seeds)]
-    cur = seeds
+    cents = [seeds]
     for _ in range(3):
-        cur = kmeans_refine(emb, cur, n_iter=1)
-        wcss.append(kmeans_wcss(emb, cur))
-    flags = spark.createDataFrame(
-        [(i, int(wcss[i] <= wcss[i - 1] * (1 + 1e-9) + 1e-6))
-         for i in (1, 2, 3)],
-        "iteration int, wcss_non_increasing int")
+        cents.append(kmeans_refine_lazy(emb, cents[-1], n_iter=1))
+    wcss_rows = [
+        kmeans_wcss_df(emb, c).select(F.lit(i).alias("iteration"), "wcss")
+        for i, c in enumerate(cents)]
+    wcss = reduce(DataFrame.unionAll, wcss_rows)
+    prev = wcss.select((F.col("iteration") + 1).alias("iteration"),
+                       F.col("wcss").alias("prev_wcss"))
+    flags = (wcss.join(prev, "iteration")
+             .select("iteration",
+                     F.when(F.col("wcss")
+                            <= F.col("prev_wcss") * (1 + 1e-9) + 1e-6,
+                            1).otherwise(0).cast("int")
+                     .alias("wcss_non_increasing")))
     total = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
     return flags.crossJoin(total).select(
         "iteration", "wcss_non_increasing", "n_vectors")
