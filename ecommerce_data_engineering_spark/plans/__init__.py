@@ -36,13 +36,16 @@ DRIVER_WINDOW = 50
 #
 # ROTATION (VERDICT r5 #1, schedule in COVERAGE.md "Driver-window rotation"): coverage-
 # redundant window slots rotate a cohort of never-driver-verified
-# queries through official CORRECTNESS rows each round.  r7 cohort:
-# 15 first-timers in; the 14 r6 first-timers (now officially verified)
-# plus pipeline_dim_customers_scd2 / snapshot_cdc_diff / the tier-4
-# window-shape veterans moved to the head of tier 10 — every evicted
+# queries through official CORRECTNESS rows each round.  r8 cohort —
+# the FINAL one: the last 7 never-verified queries (all EXT-curation)
+# plus the new embedding_ann_production flagship take their first
+# official rows; 8 of the r7 first-timers (now verified) move to the
+# head of tier 10.  After r8 every registered query holds at least one
+# official driver CORRECTNESS row — the rotation program is complete,
+# and future windows only need to cover new queries.  Every evicted
 # slot's §2/EXT ids are carried by a stayer or an incoming first-timer
-# (they stay bench-measured and locally oracle-diffed; rotation changes
-# which queries get the DRIVER's 50-row budget, nothing else).
+# (evictees stay bench-measured and locally oracle-diffed; rotation
+# changes which queries get the DRIVER's 50-row budget, nothing else).
 _PRIORITY = [
     # --- tier 1: minimal §2 core cover (staging/dims/facts/analytics) ---
     "clean_customer_strings",        # P1 P2 P7
@@ -69,8 +72,9 @@ _PRIORITY = [
     "ingest_refresh_roundtrip",      # S2 S3 S4 M3
     # (pipeline_dim_customers_scd2 → tier 10 in r7: S8 now carried by
     #  the pipeline_customer_metrics / pipeline_daily_sales first-timers,
-    #  M1 by scd2_customer_merge; 5 green driver rounds)
-    "pipeline_customer_metrics",     # A1 S8 rows-contract twin (r7 first-timer)
+    #  M1 by scd2_customer_merge; 5 green driver rounds.
+    #  pipeline_customer_metrics → tier 10 in r8 after its r7 row; S8
+    #  stays carried by pipeline_daily_sales)
     "pipeline_daily_sales",          # A1 S8 rows-contract twin (r7 first-timer)
     # --- tier 3: event/streaming twins + as-of + skew + CDC ---
     # (snapshot_cdc_diff → tier 10 in r7: M2 stays carried by
@@ -90,41 +94,52 @@ _PRIORITY = [
     "order_value_percentiles",       # EXT-percentile exact (r7 first-timer)
     "order_value_percentiles_approx",  # EXT-percentile EXT-approx
     "events_json_props",             # P3 EXT-json
-    # --- tier 5: dedup family (jaccard_prefix / ngram_jaccard /
-    #     simhash_fingerprints → tier 10 in r7 after their r6 rows;
-    #     the embedding-dedup pair takes its first driver rows) ---
+    # --- tier 5: dedup family (embedding-dedup pair + dedup_stats →
+    #     tier 10 in r8 after their r7 rows; intradoc span dedup takes
+    #     its first driver row) ---
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_embedding_cosine",        # embedding near-dup pairs (r7 first-timer)
-    "dedup_embedding_clusters",      # cosine-threshold clusters (r7 first-timer)
-    "corpus_dedup_stats",            # A7 EXT-dedup audit (r7 first-timer)
-    # --- tier 6: similarity search (lsh_multitable / ivf_nprobe /
-    #     int8_quantize → tier 10 in r7; the multiprobe variant and the
-    #     k-means trainer — the sole eager-construction exception,
-    #     VERDICT r6 watch item — take their driver rows) ---
+    "corpus_intradoc_dedup",         # EXT-dedup EXT-curation (r8 first-timer)
+    # --- tier 6: similarity search (multiprobe → tier 10 in r8 after
+    #     its r7 row; the PRODUCTION flagship — measured ≥0.8 recall
+    #     operating point, VERDICT r7 #2 — takes its first driver row;
+    #     the k-means trainer stays in-window to re-verify its r8
+    #     lazy rewrite under the driver) ---
     "embedding_ann_ivf",
-    "embedding_ann_lsh_multiprobe",  # (r7 first-timer)
-    "embedding_ivf_kmeans",          # k-means trainer (r7 first-timer)
-    # --- tier 7: text analysis (text_fingerprints → tier 10 in r7;
-    #     doc_stats + token_topk give corpus text stats driver rows) ---
+    "embedding_ann_production",      # deployable ANN (r8 first-timer)
+    "embedding_ivf_kmeans",          # k-means trainer (lazy since r8)
+    # --- tier 7: text analysis (doc_stats / corpus_token_topk →
+    #     tier 10 in r8 after their r7 rows) ---
     "text_pii_redaction",            # PII scrub, masked text md5-pinned
-    "doc_stats",                     # A1 EXT-text corpus stats (r7 first-timer)
-    "corpus_token_topk",             # EXT-text EXT-curation (r7 first-timer)
-    # --- tier 8: multimodal (manifest → tier 10 in r7; decode_stub
-    #     documents the gated-codec contract with a driver row) ---
+    # --- tier 8: multimodal (decode_stub → tier 10 in r8) ---
     "multimodal_audio_decode",
-    "multimodal_decode_stub",        # gated-codec contract (r7 first-timer)
-    # --- tier 9: curation (shard_assignment → tier 10 in r7 —
-    #     EXT-curation stays 5-deep in-window) ---
+    # --- tier 9: curation — the FINAL 7 never-verified queries (r8
+    #     cohort) join the four EXT-curation flagships ---
     "corpus_curation_funnel",        # EXT-curation EXT-dedup EXT-text
     "corpus_chunk_dedup",            # C4-style corpus-wide span dedup
     "corpus_decontaminate",          # train/test n-gram overlap guard
     "corpus_filter_pipeline",        # EXT-text EXT-dedup (r7 first-timer)
+    "corpus_deterministic_sample",   # hash-gate sampling (r8 first-timer)
+    "corpus_eval_quota_sample",      # per-source eval quotas (r8 first-timer)
+    "corpus_greedy_packing",         # per-shard sequence packing (r8 first-timer)
+    "corpus_mix_rebalance",          # source-mix reweighting (r8 first-timer)
+    "corpus_source_mix",             # mix telemetry (r8 first-timer)
+    "corpus_token_histogram",        # token-length histogram (r8 first-timer)
     # ---------------- end of driver window (50) ----------------
     # tier 10: rotated-out + redundant-but-valuable shapes, most
     # valuable first, in case the verification budget is larger than
-    # observed.  The r7 rotated-out fifteen lead: each has 1-5 rounds
-    # of green driver rows and stays bench-measured + locally diffed.
+    # observed.  The r8 rotated-out eight lead (each took its first
+    # official row in r7), then the r7-and-earlier veterans: every
+    # tier-10 query has ≥1 round of green driver rows and stays
+    # bench-measured + locally diffed.
+    "pipeline_customer_metrics",
+    "dedup_embedding_cosine",
+    "dedup_embedding_clusters",
+    "corpus_dedup_stats",
+    "embedding_ann_lsh_multiprobe",
+    "doc_stats",
+    "corpus_token_topk",
+    "multimodal_decode_stub",
     "pipeline_dim_customers_scd2",
     "snapshot_cdc_diff",
     "rolling_7day_revenue",

@@ -957,13 +957,29 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_NPROBE = 2
 
+# Production IVF operating point (VERDICT r7 #2): chosen from the
+# measured (cell-grid × nprobe) sweep in evidence/RECALL.json —
+# recall@5 = 0.836 at sf0.1 and 0.892 at 16× (floor 0.8 pinned in
+# tests/test_recall_evidence.py), candidates ≈ nprobe/k_cells ≈ 50% of
+# the corpus per query on this near-uniform synthetic fixture.  On
+# uniform-random vectors recall is ≈ linear in candidate fraction (no
+# cluster structure to exploit), so the honest production default
+# spends the fraction the floor requires; clustered real-world
+# embeddings concentrate neighbors in few cells and reach the same
+# recall at far smaller nprobe/k_cells — the knobs, not the plan
+# shape, are what a deployment retunes.
+PROD_IVF_K = 32       # finer cells than IVF_K=16: better recall at the
+PROD_SEED_STEP = 15   # same candidate fraction, and the fraction per
+PROD_NPROBE = 16      # probe shrinks as k_cells grows with corpus size
 
-def _ivf_nprobe_oracle() -> str:
+
+def _ivf_nprobe_oracle(ivf_k: int = IVF_K, seed_step: int = IVF_SEED_STEP,
+                       nprobe: int = ANN_NPROBE) -> str:
     return f"""
     WITH {_VEC_CTE},
     cent AS (
-      SELECT CAST(vec_id / {IVF_SEED_STEP} AS INT) AS cluster_id, i, x
-      FROM v WHERE vec_id % {IVF_SEED_STEP} = 0 AND vec_id < {IVF_K * IVF_SEED_STEP}
+      SELECT CAST(vec_id / {seed_step} AS INT) AS cluster_id, i, x
+      FROM v WHERE vec_id % {seed_step} = 0 AND vec_id < {ivf_k * seed_step}
     ), dist AS (
       SELECT v.vec_id, c.cluster_id,
              floor(sum((v.x - c.x) * (v.x - c.x)) * 1000000000 + 0.5) / 1000000000 AS d2
@@ -977,7 +993,7 @@ def _ivf_nprobe_oracle() -> str:
     assigned AS (SELECT vec_id, cluster_id FROM ranked_cells WHERE rn = 1),
     q_probe AS (
       SELECT vec_id, cluster_id FROM ranked_cells
-      WHERE rn <= {ANN_NPROBE} AND vec_id < {ANN_QUERY_LIMIT}
+      WHERE rn <= {nprobe} AND vec_id < {ANN_QUERY_LIMIT}
     ),
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -1005,24 +1021,26 @@ def _ivf_nprobe_oracle() -> str:
     """
 
 
-@query("embedding_ann_ivf_nprobe", oracle=_ivf_nprobe_oracle(),
-       covers=("EXT-similarity",))
-def embedding_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with nprobe=2 (the IVF recall knob): each query searches its
-    TWO nearest cells while the corpus stays stored once per cell —
-    probe cost scales with |Q|·nprobe, never with corpus size.  Recall
-    strictly dominates the nprobe=1 variant (candidate superset)."""
+def _ivf_nprobe_plan(spark: SparkSession, sf_dir: str, ivf_k: int,
+                     seed_step: int, nprobe: int) -> DataFrame:
+    """Shared IVF search plan: deterministic seed centroids → corpus
+    stored once per cell (nprobe=1) → queries probe their ``nprobe``
+    nearest cells → cosine rank inside the candidate set.  Probe cost
+    scales with |Q|·(corpus/k_cells)·nprobe, never all-pairs.  No
+    pair dedup is needed (or paid for): a corpus vector lives in
+    exactly ONE cell, so a (query, neighbor) pair meets at most once
+    even when the query probes many cells."""
     from ..operators.similarity import ivf_assign
 
     emb = load(spark, sf_dir, "embeddings")
-    centroids = (emb.filter((F.col("vec_id") % IVF_SEED_STEP == 0)
-                            & (F.col("vec_id") < IVF_K * IVF_SEED_STEP))
-                 .select((F.col("vec_id") / IVF_SEED_STEP).cast("int")
+    centroids = (emb.filter((F.col("vec_id") % seed_step == 0)
+                            & (F.col("vec_id") < ivf_k * seed_step))
+                 .select((F.col("vec_id") / seed_step).cast("int")
                          .alias("cluster_id"), "embedding"))
     corpus_cells = ivf_assign(S.with_norm(emb), centroids)
     query_cells = ivf_assign(
         S.with_norm(emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)),
-        centroids, nprobe=ANN_NPROBE)
+        centroids, nprobe=nprobe)
     q = query_cells.select(F.col("vec_id").alias("query_id"),
                            F.col("embedding").alias("q_vec"),
                            F.col("norm").alias("q_norm"), "cluster_id")
@@ -1041,6 +1059,34 @@ def embedding_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (sims.withColumn("rn", F.row_number().over(w).cast("int"))
             .filter(F.col("rn") <= ANN_K))
+
+
+@query("embedding_ann_ivf_nprobe", oracle=_ivf_nprobe_oracle(),
+       covers=("EXT-similarity",))
+def embedding_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 (the IVF recall knob): each query searches its
+    TWO nearest cells while the corpus stays stored once per cell —
+    probe cost scales with |Q|·nprobe, never with corpus size.  Recall
+    strictly dominates the nprobe=1 variant (candidate superset)."""
+    return _ivf_nprobe_plan(spark, sf_dir, IVF_K, IVF_SEED_STEP, ANN_NPROBE)
+
+
+@query("embedding_ann_production",
+       oracle=_ivf_nprobe_oracle(PROD_IVF_K, PROD_SEED_STEP, PROD_NPROBE),
+       covers=("EXT-similarity",), bench=True)
+def embedding_ann_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYABLE ANN flagship (VERDICT r7 #2): IVF at the measured
+    production operating point (32 cells × nprobe 16) instead of a
+    single-lever demo — recall@5 = 0.836 at sf0.1 / 0.892 at 16×
+    against the exact cosine yardstick, with a ≥ 0.8 floor pinned in
+    tests/test_recall_evidence.py and the candidates-examined budget
+    recorded per fixture in evidence/RECALL.json.
+
+    Same subquadratic shape as every IVF variant here: candidate
+    generation is a cell-key equi-join (corpus stored once per cell),
+    never all-pairs; raising recall costs probes, not plan changes."""
+    return _ivf_nprobe_plan(spark, sf_dir, PROD_IVF_K, PROD_SEED_STEP,
+                            PROD_NPROBE)
 
 
 def _clusters_oracle() -> str:

@@ -100,6 +100,34 @@ def test_trained_centroids_do_not_degrade_ivf_recall(rec):
                 label, nprobe, trained[nprobe], seeded[nprobe])
 
 
+def test_production_ann_recall_floor(rec):
+    """The deployable flagship (embedding_ann_production, VERDICT r7
+    #2) ships a measured-good operating point, not a demo default:
+    recall@5 ≥ 0.8 on EVERY recorded fixture, with its candidate
+    budget recorded (cost is a fact in the artifact, not a docstring
+    claim).  The recorded numbers must agree with the registered
+    variant's row (same kernel), and the recorded knobs must be the
+    shipped constants — retuning the query without re-measuring turns
+    the build red."""
+    from ecommerce_data_engineering_spark.plans.extensions import (
+        PROD_IVF_K, PROD_NPROBE)
+
+    for label, fx in rec["fixtures"].items():
+        prod = fx["production"]
+        assert prod["ivf_k"] == PROD_IVF_K, label
+        assert prod["nprobe"] == PROD_NPROBE, label
+        assert prod["recall_at_k"] == \
+            fx["ann"]["embedding_ann_production"]["recall_at_k"], label
+        assert prod["recall_at_k"] >= 0.8, (
+            f"{label}: production ANN recall@5 = {prod['recall_at_k']} "
+            f"< 0.8 floor — retune PROD_IVF_K/PROD_NPROBE against the "
+            f"sweep before shipping")
+        assert 0 < prod["candidates_per_query"] <= prod["n_corpus"], label
+        # subquadratic sanity: the production point must not degenerate
+        # to scanning (almost) everything per query
+        assert prod["corpus_fraction"] <= 0.6, (label, prod)
+
+
 def test_minhash_pair_recall_floor_and_exactness(rec):
     """Banded MinHash at the registered parameters (8 hashes, 4 bands)
     must recover ≥95% of the true Jaccard ≥ t pairs, and can never emit

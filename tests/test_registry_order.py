@@ -29,7 +29,7 @@ EXT_FAMILIES = {"EXT-dedup", "EXT-similarity", "EXT-text", "EXT-multimodal",
 # extension family never rotates out (COVERAGE.md "Driver-window rotation").
 EXT_MUST_HAVE = {
     "dedup_minhash_lsh", "dedup_clusters",
-    "embedding_ann_ivf",
+    "embedding_ann_ivf", "embedding_ann_production",
     "text_pii_redaction",
     "multimodal_audio_decode",
     "purchase_click_asof", "event_user_enrichment",
@@ -38,18 +38,17 @@ EXT_MUST_HAVE = {
     "corpus_decontaminate",
 }
 
-# r7 rotation cohort (VERDICT r6 #1): never-driver-verified queries
-# promoted into the window for their first official CORRECTNESS rows.
-# 15 in; the 7 remaining never-verified queries (all coverage-redundant
-# EXT-curation shapes) rotate in r8.
-ROTATION_COHORT_R7 = {
-    "pipeline_customer_metrics", "pipeline_daily_sales",
-    "customer_value_quartiles", "events_rollup_cascade",
-    "unpivot_monthly_metrics", "order_value_percentiles",
-    "dedup_embedding_cosine", "dedup_embedding_clusters",
-    "corpus_dedup_stats", "embedding_ann_lsh_multiprobe",
-    "embedding_ivf_kmeans", "doc_stats", "corpus_token_topk",
-    "multimodal_decode_stub", "corpus_filter_pipeline",
+# r8 rotation cohort — the FINAL one (VERDICT r7 #1): the last 7
+# never-driver-verified queries (all EXT-curation) plus the new
+# production ANN flagship (VERDICT r7 #2) take their first official
+# CORRECTNESS rows.  After r8, every registered query holds at least
+# one official driver row and the rotation program is complete.
+ROTATION_COHORT_R8 = {
+    "corpus_deterministic_sample", "corpus_eval_quota_sample",
+    "corpus_greedy_packing", "corpus_intradoc_dedup",
+    "corpus_mix_rebalance", "corpus_source_mix",
+    "corpus_token_histogram",
+    "embedding_ann_production",
 }
 
 
@@ -80,7 +79,7 @@ def test_driver_window_contains_extension_queries():
 
 
 def test_rotation_cohort_in_window_and_truly_first_time():
-    """VERDICT r6 #1: the r7 cohort must sit inside the driver window
+    """VERDICT r7 #1: the r8 cohort must sit inside the driver window
     AND have no row in any committed past-round CORRECTNESS artifact —
     the rotation's whole point is first-time official verification."""
     import glob
@@ -88,18 +87,41 @@ def test_rotation_cohort_in_window_and_truly_first_time():
     import os
 
     window_names = set(list(REGISTRY)[:DRIVER_WINDOW])
-    missing = ROTATION_COHORT_R7 - window_names
+    missing = ROTATION_COHORT_R8 - window_names
     assert not missing, f"cohort outside driver window: {missing}"
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-6].json")):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-7].json")):
         with open(path) as f:
             seen |= set(json.load(f))
     assert seen, "past CORRECTNESS artifacts missing — wrong cwd?"
-    stale = ROTATION_COHORT_R7 & seen
+    stale = ROTATION_COHORT_R8 & seen
     assert not stale, f"cohort members already driver-verified: {stale}"
-    assert len(ROTATION_COHORT_R7) >= 14  # the r7 done-bar (VERDICT r6 #1)
+    # the r8 done-bar (VERDICT r7 #1+#2): 7 curation + the ANN flagship
+    assert len(ROTATION_COHORT_R8) == 8
+
+
+def test_rotation_program_complete():
+    """After the r8 window lands, EVERY registered query is either in
+    the current driver window or already holds an official driver row
+    from r1–r7 — the 117-query rotation program's completion claim,
+    pinned so a future query addition must enter the window (or this
+    test forces the claim to be restated)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-7].json")):
+        with open(path) as f:
+            seen |= set(json.load(f))
+    window_names = set(list(REGISTRY)[:DRIVER_WINDOW])
+    never = set(REGISTRY) - seen - window_names
+    assert not never, (
+        f"queries with no official driver row that are also outside "
+        f"the current window: {sorted(never)}")
 
 
 def test_window_queries_are_oracle_checked():
