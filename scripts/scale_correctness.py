@@ -46,8 +46,12 @@ def _usage_abort(msg: str) -> None:
     sys.stderr.write(
         f"scale_correctness: {msg}\n"
         "usage: scale_correctness.py [FIXTURE_DIR] [--all] [--bench] "
-        "[--only NAME[,NAME...]] [--tag=NAME] [--force]\n"
+        "[--bounded] [--only NAME[,NAME...]] [--tag=NAME] [--force]\n"
         "  --all    include the quadratic-oracle pair-emitters\n"
+        "  --bounded  compare via engine-side count+digest (VERDICT r7 "
+        "#4: row-emitters stop paying the pandas canonicalization tax); "
+        "queries with non-scalar outputs fall back to the full compare "
+        "and are listed in the record's digest_fallback\n"
         "  --bench  restrict to bench-flagged queries (still writes a "
         "record, marked subset=bench)\n"
         "  --only   spot-check named queries only (writes a record only "
@@ -64,6 +68,7 @@ def main() -> None:
     # to be silently ignored, so '--only name' (space form) ran the FULL
     # sweep and clobbered the authoritative scale-evidence record.
     sf_dir, include_all, only, tag, force, bench = None, False, None, None, False, False
+    bounded = False
     argv, i = sys.argv[1:], 0
     while i < len(argv):
         a = argv[i]
@@ -71,6 +76,8 @@ def main() -> None:
             include_all = True
         elif a == "--bench":
             bench = True
+        elif a == "--bounded":
+            bounded = True
         elif a == "--force":
             force = True
         elif a == "--only":
@@ -98,7 +105,7 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from oracle import compare, duckdb_run
+    from oracle import DigestUnsupported, compare, digest_compare, duckdb_run
     from ecommerce_data_engineering_spark.plans import REGISTRY
 
     # 4x-sf0.1 pair-emitting queries need real executor heap (the 1g
@@ -113,7 +120,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     fails, skipped, n_ok, secs = [], [], 0, {}
-    failed_names = []
+    failed_names, digest_fallback = [], []
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None:
             continue
@@ -126,8 +133,17 @@ def main() -> None:
             continue
         t0 = time.time()
         try:
-            errs = compare(spec.fn(spark, sf_dir),
-                           duckdb_run(spec.oracle, sf_dir), name)
+            if bounded:
+                try:
+                    errs = digest_compare(spec.fn(spark, sf_dir),
+                                          spec.oracle, sf_dir, name)
+                except DigestUnsupported:
+                    digest_fallback.append(name)
+                    errs = compare(spec.fn(spark, sf_dir),
+                                   duckdb_run(spec.oracle, sf_dir), name)
+            else:
+                errs = compare(spec.fn(spark, sf_dir),
+                               duckdb_run(spec.oracle, sf_dir), name)
         except Exception as ex:                       # noqa: BLE001
             errs = [f"{name}: {type(ex).__name__}: {ex}"]
         dt = time.time() - t0
@@ -173,12 +189,16 @@ def main() -> None:
         with open(rec_path, "w") as f:
             subset = ("only:" + ",".join(sorted(only)) if only is not None
                       else "bench" if bench else "full")
-            json.dump({"fixture": sf_dir, "all": include_all,
-                       "subset": subset,
-                       "n_ok": n_ok, "n_failed": len(failed_names),
-                       "failed": sorted(failed_names),
-                       "skipped": sorted(skipped),
-                       "seconds": secs}, f, indent=1)
+            rec = {"fixture": sf_dir, "all": include_all,
+                   "subset": subset,
+                   "n_ok": n_ok, "n_failed": len(failed_names),
+                   "failed": sorted(failed_names),
+                   "skipped": sorted(skipped),
+                   "seconds": secs}
+            if bounded:
+                rec["mode"] = "bounded"
+                rec["digest_fallback"] = sorted(digest_fallback)
+            json.dump(rec, f, indent=1)
         print(f"wrote {rec_name}")
     sys.exit(1 if fails else 0)
 

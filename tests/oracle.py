@@ -141,3 +141,241 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
             f"{name}: value mismatch; spark-only={only_spark} "
             f"oracle-only={only_oracle} (cols={sorted(spdf.columns)})")
     return problems
+
+
+# ---------------------------------------------------------------------------
+# Bounded (engine-side digest) compare — VERDICT r7 #4.
+#
+# The full `compare` materializes BOTH result sets through pandas and
+# canonicalizes row-by-row in Python: for row-emitting queries at big
+# fixtures the harness tax dwarfs the engines (coerce_event_props was
+# 179 s of the r7 16x sweep for a trivial project/filter plan).  The
+# digest form keeps verification order-insensitive and value-sensitive
+# but computes it INSIDE each engine: every row folds to
+#     md5(concat_ws(0x1f, canon(col) for col sorted by name))
+# and the engines return only (row count, SUM of a 60-bit hash prefix)
+# — two scalars — plus a bounded 200-row sample for the dtype-family
+# check.  Python never sees the rows.
+#
+# Cross-engine canonicalization is the hard part; every rule below is
+# pinned by tests/test_bounded_compare.py against hostile values:
+#   * floats: fixed-point via floor(x*1e9 + 0.5) computed in DOUBLE
+#     (bit-identical IEEE ops in both engines — the ROUNDING DECISION
+#     happens in arithmetic, not in string formatting, so printf
+#     half-up-vs-half-even tie divergence can't occur), then
+#     printf('%.0f', ·) which renders an integral double exactly in
+#     both engines for |x| < 1e15.  Beyond double's integer precision
+#     Java pads shortest-repr with zeros while C prints the exact
+#     binary expansion (1.5e22 renders differently) — so any float
+#     column whose max |x| ≥ 1e15 aborts to the full compare instead
+#     of guessing (the digest query itself measures this, same scan).
+#   * NULL → '∅' and NaN → '∅' (mirrors _norm_cell), ±inf explicit.
+#   * timestamps via unix_micros/epoch_us (integer microseconds —
+#     engines disagree on trailing-zero trimming of cast-to-string).
+#   * int/bool/date/string: plain casts (verified identical).
+# Arrays/binary/decimal/struct columns raise DigestUnsupported and the
+# caller falls back to the full compare.
+# ---------------------------------------------------------------------------
+
+DIGEST_SEP = "\x1f"
+DIGEST_FLOAT_CAP = 1e15
+
+
+class DigestUnsupported(ValueError):
+    """Column type the cross-engine digest cannot canonicalize."""
+
+
+def _ffloor(y: str) -> str:
+    """IEEE floor of a double expression, staying in DOUBLE (Spark's
+    floor() returns BIGINT and overflows past 2^63; fmod is exact in
+    both engines, so floor = y - y%1, minus 1 for negative non-ints)."""
+    return (f"(({y}) - (({y}) % 1.0) - (CASE WHEN ({y}) < 0 AND "
+            f"(({y}) % 1.0) <> 0.0 THEN 1.0 ELSE 0.0 END))")
+
+
+def _canon_expr(col: str, family: str, engine: str) -> str:
+    """Canonical-string SQL for one column; `engine` is 'spark'|'duck'."""
+    q = f"`{col}`" if engine == "spark" else f'"{col}"'
+    str_t = "STRING" if engine == "spark" else "VARCHAR"
+    if family == "string":
+        return f"coalesce({q}, '∅')"
+    if family == "int":
+        return f"coalesce(CAST({q} AS {str_t}), '∅')"
+    if family == "bool":
+        return (f"CASE WHEN {q} IS NULL THEN '∅' "
+                f"ELSE CAST(CAST({q} AS INT) AS {str_t}) END")
+    if family == "datetime":
+        # one canon for BOTH date and timestamp columns (the driver
+        # tolerates date↔datetime drift — campaign_attribution shipped
+        # that way and hashed green — so the digest must too): render
+        # as midnight-padded 6-digit-micros local-naive strings, which
+        # the engines format identically (pinned in
+        # test_bounded_compare)
+        fmt = (f"date_format(CAST({q} AS TIMESTAMP), "
+               f"'yyyy-MM-dd HH:mm:ss.SSSSSS')" if engine == "spark"
+               else f"strftime(CAST({q} AS TIMESTAMP), "
+                    f"'%Y-%m-%d %H:%M:%S.%f')")
+        return f"CASE WHEN {q} IS NULL THEN '∅' ELSE {fmt} END"
+    if family == "float":
+        x = f"CAST({q} AS DOUBLE)"
+        printf = "format_string" if engine == "spark" else "printf"
+        fixed = _ffloor(f"({x} * 1e9 + 0.5)")
+        return (f"CASE WHEN {q} IS NULL OR isnan({x}) THEN '∅' "
+                f"WHEN {x} = CAST('Infinity' AS DOUBLE) THEN 'inf' "
+                f"WHEN {x} = CAST('-Infinity' AS DOUBLE) THEN '-inf' "
+                f"ELSE {printf}('%.0f', {fixed}) END")
+    raise DigestUnsupported(f"column {col!r}: family {family!r}")
+
+
+_SPARK_FAMILY = {"string": "string", "int": "int", "bigint": "int",
+                 "smallint": "int", "tinyint": "int", "boolean": "bool",
+                 "date": "datetime", "timestamp": "datetime",
+                 "double": "float", "float": "float"}
+
+
+def _duck_family(duck_type: str) -> str:
+    t = duck_type.upper()
+    if t in ("VARCHAR", "TEXT", "STRING"):
+        return "string"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE" or t.startswith("TIMESTAMP"):
+        return "datetime"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    return f"unsupported:{duck_type}"
+
+
+def digest_compare(spark_df, oracle_sql: str, sf_dir: str,
+                   name: str) -> list[str]:
+    """Bounded compare: column names + dtype families (200-row sample)
+    + row count + order-insensitive 60-bit hash sum, all computed
+    engine-side.  Raises DigestUnsupported for non-scalar columns or
+    float magnitudes past printf parity — callers fall back to
+    `compare`.  Verdict-compatible with `compare` by construction:
+    same columns, same row multiset ⇒ same digest; any count or value
+    difference (beyond the shared 1e-9 float granularity) ⇒ digest
+    mismatch."""
+    problems: list[str] = []
+    cols = sorted(spark_df.columns)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir.rstrip('/')}/{t}.parquet'")
+    # one evaluation of the oracle; digest + sample read from the temp
+    con.execute(f"CREATE TEMP TABLE __oracle AS {oracle_sql}")
+    duck_types = {r[0]: r[1] for r in
+                  con.execute("DESCRIBE __oracle").fetchall()}
+    if cols != sorted(duck_types):
+        return [f"{name}: columns differ spark={cols} "
+                f"oracle={sorted(duck_types)}"]
+
+    spark_types = dict(spark_df.dtypes)
+    s_fams = {c: _SPARK_FAMILY.get(spark_types[c],
+                                   f"unsupported:{spark_types[c]}")
+              for c in cols}
+    d_fams = {c: _duck_family(duck_types[c]) for c in cols}
+
+    # a column neither engine can canonicalize (arrays, structs,
+    # binary on both sides) is a FALLBACK — the full compare handles
+    # those types; raise before the drift check so e.g.
+    # array<float> vs FLOAT[] doesn't read as a type mismatch
+    unsup_both = [c for c in cols
+                  if s_fams[c].startswith("unsupported:")
+                  and d_fams[c].startswith("unsupported:")]
+    if unsup_both:
+        raise DigestUnsupported(
+            f"columns not canonicalizable engine-side: "
+            f"{[(c, spark_types[c]) for c in unsup_both]}")
+
+    # cross-engine family drift (e.g. oracle DECIMAL/HUGEINT where
+    # Spark emits double/bigint): the driver hashes raw cells, so this
+    # is a REPORTED failure, not a fallback — return the legible
+    # sample-based findings instead of a digest mismatch
+    drift = [c for c in cols if s_fams[c] != d_fams[c]]
+    if drift:
+        problems += dtype_problems(
+            spark_df.limit(200).toPandas(),
+            con.execute("SELECT * FROM __oracle LIMIT 200").fetchdf(),
+            name)
+        problems += [
+            f"{name}: column {c!r} family drift spark={s_fams[c]} "
+            f"oracle={d_fams[c]}" for c in drift
+            if not any(f"column {c!r}" in p for p in problems)]
+        return problems
+
+    unsup = [c for c in cols if s_fams[c].startswith("unsupported:")]
+    if unsup:
+        raise DigestUnsupported(
+            f"columns not canonicalizable engine-side: "
+            f"{[(c, spark_types[c]) for c in unsup]}")
+
+    # dtype-family check on bounded samples (object-column oddities the
+    # declared types can hide, e.g. Decimal cells in an object column)
+    problems += dtype_problems(
+        spark_df.limit(200).toPandas(),
+        con.execute("SELECT * FROM __oracle LIMIT 200").fetchdf(), name)
+
+    float_cols = [c for c in cols if s_fams[c] == "float"]
+
+    def digest_sql(engine: str, fams: dict, source: str) -> str:
+        canon = ", ".join(_canon_expr(c, fams[c], engine) for c in cols)
+        def cap_expr(c: str, i: int) -> str:
+            # NaN/±inf canonicalize fine ('∅'/'inf') and must not trip
+            # the magnitude guard (NaN also poisons max: NaN >= 1e15
+            # compares False, silently DISABLING the guard — exclude
+            # it in SQL, pinned by test_digest_refuses_big_floats)
+            x = (f"CAST(`{c}` AS DOUBLE)" if engine == "spark"
+                 else f'CAST("{c}" AS DOUBLE)')
+            return (f"max(CASE WHEN isnan({x}) "
+                    f"OR {x} = CAST('Infinity' AS DOUBLE) "
+                    f"OR {x} = CAST('-Infinity' AS DOUBLE) THEN NULL "
+                    f"ELSE abs({x}) END) AS __cap_{i}")
+
+        if engine == "spark":
+            h = (f"CAST(conv(substring(md5(concat_ws('{DIGEST_SEP}', "
+                 f"{canon})), 1, 15), 16, 10) AS DECIMAL(38,0))")
+        else:
+            h = (f"('0x' || substring(md5(concat_ws('{DIGEST_SEP}', "
+                 f"{canon})), 1, 15))::BIGINT")
+        caps = ", ".join(cap_expr(c, i) for i, c in enumerate(float_cols))
+        caps = (", " + caps) if caps else ""
+        return (f"SELECT count(*) AS __n, sum({h}) AS __digest{caps} "
+                f"FROM {source}")
+
+    # Spark: register the df as a temp view scoped to this call
+    view = f"__digest_src_{abs(hash(name)) % 10**8}"
+    spark_df.createOrReplaceTempView(view)
+    try:
+        s_row = spark_df.sparkSession.sql(
+            digest_sql("spark", s_fams, view)).collect()[0]
+    finally:
+        spark_df.sparkSession.catalog.dropTempView(view)
+    d_row = con.execute(
+        digest_sql("duck", d_fams, "__oracle")).fetchone()
+
+    # float-magnitude guard: printf parity is only proven below 1e15
+    for i, c in enumerate(float_cols):
+        for side, row in (("spark", s_row), ("oracle", d_row)):
+            cap = row[2 + i]
+            if cap is not None and float(cap) >= DIGEST_FLOAT_CAP:
+                raise DigestUnsupported(
+                    f"column {c!r} |max| = {cap!r} ≥ 1e15 on the "
+                    f"{side} side — beyond cross-engine printf parity")
+
+    n_s, n_d = int(s_row[0]), int(d_row[0])
+    if n_s != n_d:
+        problems.append(f"{name}: row count spark={n_s} oracle={n_d}")
+        return problems
+    dig_s = int(s_row[1]) if s_row[1] is not None else 0
+    dig_d = int(d_row[1]) if d_row[1] is not None else 0
+    if dig_s != dig_d:
+        problems.append(
+            f"{name}: value digest differs over {n_s} rows "
+            f"(spark={dig_s} oracle={dig_d}) — order-insensitive "
+            f"multiset of canonicalized rows is not equal")
+    return problems
