@@ -78,9 +78,11 @@ def main() -> None:
         if "STREAM_BENCH.json" not in md:
             bad.append("STREAM_BENCH.json: not cited in SCALE.md")
         else:
+            rocks = rec.get("scenarios_rocksdb")
             print(f"STREAM_BENCH.json: {rec['rows']} rows, "
                   f"{rec['rows_per_sec_wall']} rows/s wall, "
-                  f"stream==batch {rec['streamed_equals_batch']}")
+                  f"stream==batch {rec['streamed_equals_batch']}, "
+                  f"rocksdb={'yes' if rocks else 'no'}")
     # r7 artifacts under the same staleness rule: if they exist, SCALE.md
     # must cite them next to the numbers they back (content-level floors
     # are asserted by tests/test_recall_evidence.py for RECALL.json)

@@ -17,23 +17,28 @@ python scripts/make_scaled_fixture.py /tmp/sf_synth 4
 python scripts/make_scaled_fixture.py /tmp/sf_16x 16
 python scripts/make_scaled_fixture.py /tmp/sf_64x 64
 python scripts/make_skewed_fixture.py /tmp/sf_skew01
+python scripts/make_skewed_fixture.py /tmp/sf_skew16x /tmp/sf_16x
 python scripts/make_seeded_fixture.py /tmp/sf_seed1 1
 python scripts/make_seeded_fixture.py /tmp/sf_seed2 2
 python scripts/make_seeded_fixture.py /tmp/sf_seed3 3
 python scripts/make_rowgrouped_fixture.py /tmp/sf0.1_rg8 8 /root/testdata/sf0.1
 
-echo "== 1. correctness sweeps (full suites; ~1-3h each with --all) =="
-python scripts/scale_correctness.py /tmp/sf_synth --all --force
-python scripts/scale_correctness.py /root/testdata/sf0.1 --all --tag=sf01 --force
-python scripts/scale_correctness.py /tmp/sf_skew01 --all --tag=skew --force
+# --bounded everywhere since r8 (VERDICT r7 #4): the value compare runs
+# engine-side (count + order-insensitive digest), so sweeps pay DuckDB
+# oracle compute but never the pandas row-canonicalization tax;
+# non-scalar outputs fall back to the full compare automatically.
+echo "== 1. correctness sweeps (full suites) =="
+python scripts/scale_correctness.py /tmp/sf_synth --all --bounded --force
+python scripts/scale_correctness.py /root/testdata/sf0.1 --all --bounded --tag=sf01 --force
+python scripts/scale_correctness.py /tmp/sf_skew01 --all --bounded --tag=skew --force
 for s in 1 2 3; do
-  python scripts/scale_correctness.py /tmp/sf_seed$s --all --tag=seed$s --force
+  python scripts/scale_correctness.py /tmp/sf_seed$s --all --bounded --tag=seed$s --force
 done
 
-echo "== 2. frontier sweeps (16x / 64x) =="
-python scripts/scale_correctness.py /tmp/sf_16x --bench --tag=16x --force
-python scripts/scale_correctness.py /tmp/sf_16x --tag=16x_full --force
-python scripts/scale_correctness.py /tmp/sf_16x --all \
+echo "== 2. frontier sweeps (16x / 64x / skewed 16x) =="
+python scripts/scale_correctness.py /tmp/sf_16x --bench --bounded --tag=16x --force
+python scripts/scale_correctness.py /tmp/sf_16x --bounded --tag=16x_full --force
+python scripts/scale_correctness.py /tmp/sf_16x --all --bounded \
   --only dedup_clusters,dedup_jaccard_prefix,dedup_ngram_jaccard,dedup_simhash_pairs \
   --tag=16x_pairs --force
 # 64x: bench minus the two oracle-cost exclusions (list must mirror
@@ -44,7 +49,10 @@ names = sorted(n for n, s in REGISTRY.items() if s.bench
                and n not in ("fact_lineitem_build", "events_sessionization"))
 print(",".join(names))
 EOF
-python scripts/scale_correctness.py /tmp/sf_64x --only "$(cat /tmp/b64.txt)" --tag=64x --force
+python scripts/scale_correctness.py /tmp/sf_64x --only "$(cat /tmp/b64.txt)" --bounded --tag=64x --force
+# skew AND volume compounded (VERDICT r7 #6): the full bench set on the
+# pathological-key fixture derived from the 16x corpus
+python scripts/scale_correctness.py /tmp/sf_skew16x --bench --bounded --tag=skew16x --force
 
 echo "== 3. recall vs exact yardsticks =="
 python scripts/ann_recall.py sf0.1=/root/testdata/sf0.1 16x=/tmp/sf_16x

@@ -126,17 +126,11 @@ def main() -> None:
     n_files = int(args[1]) if len(args) > 1 else 32
     feed = f"/tmp/stream_feed_{os.path.basename(src_dir.rstrip('/'))}"
 
-    from pyspark.sql import functions as F, SparkSession
+    from pyspark.sql import SparkSession
 
-    from ecommerce_data_engineering_spark.functions.rounding import (
-        dsum, pround)
     from ecommerce_data_engineering_spark.sources import load
-    from ecommerce_data_engineering_spark.streaming.joins import (
-        stream_click_purchase_join)
     from ecommerce_data_engineering_spark.streaming.source import (
         stream_events_dir)
-    from ecommerce_data_engineering_spark.streaming.stateful import (
-        stream_running_totals)
 
     spark = (SparkSession.builder.master(
                 f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -158,101 +152,35 @@ def main() -> None:
     def feed_stream():
         return stream_events_dir(spark, feed, max_files_per_trigger=1)
 
-    scenarios: dict[str, dict] = {}
-    red = []
+    scenarios = run_suite(spark, events, feed_stream, n_rows, suffix="")
 
-    # -- scenario 1: watermarked hourly rollup (windowed state) --------
-    rollup = (feed_stream()
-              .withWatermark("ts", "1 hour")
-              .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-              .agg(F.count(F.lit(1)).alias("n_events"),
-                   pround(dsum(F.col("value"), scale=4), 2)
-                   .alias("total_value"))
-              .select(F.col("win.start").alias("window_start"),
-                      "event_type", "n_events", "total_value"))
-    streamed, m = run_scenario(spark, "hourly_rollup", rollup, "update",
-                               n_rows)
-    # update-mode memory sink holds ONE ROW PER EMISSION: finalize each
-    # window at its max running n_events (a window is only re-emitted
-    # when it received rows, so n_events strictly increases per key)
-    final = (streamed.groupBy("window_start", "event_type")
-             .agg(F.max_by(F.struct("n_events", "total_value"),
-                           "n_events").alias("fin"))
-             .select("window_start", "event_type",
-                     F.col("fin.n_events").alias("n_events"),
-                     F.col("fin.total_value").alias("total_value")))
-    batch = (events
-             .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-             .agg(F.count(F.lit(1)).alias("n_events"),
-                  pround(dsum(F.col("value"), scale=4), 2)
-                  .alias("total_value"))
-             .select(F.col("win.start").alias("window_start"),
-                     "event_type", "n_events", "total_value"))
-    m["streamed_equals_batch"] = (
-        {tuple(map(str, r)) for r in final.collect()}
-        == {tuple(map(str, r)) for r in batch.collect()})
-    scenarios["hourly_rollup"] = m
-
-    # -- scenario 2: stream-stream interval join (two-sided state) -----
-    join = stream_click_purchase_join(spark, "", lookback_minutes=60,
-                                      src=feed_stream())
-    streamed, m = run_scenario(spark, "stream_stream_join", join,
-                               "append", n_rows, source_passes=2)
-    clicks = (events.filter(F.col("event_type") == "click")
-              .select(F.col("user_id").alias("cu"),
-                      F.col("event_id").alias("click_id"),
-                      F.col("ts").alias("cts")))
-    purchases = (events.filter(F.col("event_type") == "purchase")
-                 .select(F.col("user_id").alias("pu"),
-                         F.col("event_id").alias("purchase_id"),
-                         F.col("ts").alias("pts")))
-    batch_pairs = purchases.join(
-        clicks,
-        (F.col("pu") == F.col("cu")) & (F.col("cts") <= F.col("pts"))
-        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 60 MINUTES"))
-    ).select("purchase_id", "click_id")
-    got = streamed.select("purchase_id", "click_id")
-    # pair volume scales with the fixture — compare distributed
-    # (two-sided exceptAll), never via driver-side Python sets
-    m["output_pairs"] = got.count()
-    m["streamed_equals_batch"] = (
-        m["output_pairs"] == batch_pairs.count()
-        and got.exceptAll(batch_pairs).count() == 0
-        and batch_pairs.exceptAll(got).count() == 0)
-    scenarios["stream_stream_join"] = m
-
-    # -- scenario 3: applyInPandasWithState running totals -------------
-    totals = stream_running_totals(spark, "", src=feed_stream())
-    streamed, m = run_scenario(spark, "running_totals", totals, "update",
-                               n_rows)
-    got_rows = (streamed.groupBy("event_type")
-                .agg(F.max_by(F.struct("running_events", "running_value"),
-                              "running_events").alias("fin"))
-                .select("event_type",
-                        F.col("fin.running_events").alias("n"),
-                        F.col("fin.running_value").alias("v")).collect())
-    want_rows = (events.groupBy("event_type")
-                 .agg(F.count(F.lit(1)).alias("n"),
-                      F.sum("value").alias("v")).collect())
-    got_map = {r["event_type"]: (r["n"], r["v"]) for r in got_rows}
-    want_map = {r["event_type"]: (r["n"], r["v"]) for r in want_rows}
-    # counts exact; the float fold accumulates in feed order while the
-    # batch sum is shuffle-order — equal within rounding slack (the
-    # same contract test_stateful_running_totals pins)
-    m["streamed_equals_batch"] = (
-        set(got_map) == set(want_map)
-        and all(got_map[k][0] == want_map[k][0] for k in want_map)
-        and all(abs(got_map[k][1] - want_map[k][1])
-                <= max(0.05, abs(want_map[k][1]) * 1e-9)
-                for k in want_map))
-    scenarios["running_totals"] = m
+    # Same three stateful shapes on the RocksDB state store (VERDICT r7
+    # #3 minor / r7 next-round #5): the default HDFSBackedStateStore
+    # keeps every state row on the JVM heap — fine at the measured
+    # 95k-row peaks, but the 100 TB deployment answer is RocksDB
+    # (off-heap, spill-to-disk, bounded memory regardless of state
+    # size).  providerClass is a runtime SQL conf, so the same session
+    # re-runs the suite; streamed≡batch must hold identically.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        rocks = run_suite(spark, events, feed_stream, n_rows,
+                          suffix="_rocksdb")
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     red = [n for n, m in scenarios.items()
            if not m["streamed_equals_batch"]]
+    red += [f"{n} (rocksdb)" for n, m in rocks.items()
+            if not m["streamed_equals_batch"]]
 
     rec = {
         "fixture": src_dir, "rows": n_rows, "files": n_files,
         "scenarios": scenarios,
+        "state_store_default": "HDFSBackedStateStoreProvider",
+        "scenarios_rocksdb": rocks,
         "streamed_equals_batch": not red,
         # headline numbers = the windowed-rollup scenario (kept at the
         # top level so older consumers of the r6 single-scenario schema
@@ -282,6 +210,110 @@ def main() -> None:
     with open(rec_path, "w") as f:
         json.dump(rec, f, indent=1)
     print("wrote STREAM_BENCH.json")
+
+
+def run_suite(spark, events, feed_stream, n_rows: int,
+              suffix: str) -> dict:
+    """The three stateful scenarios against one state-store provider;
+    ``suffix`` keeps the memory-sink query names distinct per run."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.functions.rounding import (
+        dsum, pround)
+    from ecommerce_data_engineering_spark.streaming.joins import (
+        stream_click_purchase_join)
+    from ecommerce_data_engineering_spark.streaming.stateful import (
+        stream_running_totals)
+
+    scenarios: dict[str, dict] = {}
+
+    # -- scenario 1: watermarked hourly rollup (windowed state) --------
+    rollup = (feed_stream()
+              .withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   pround(dsum(F.col("value"), scale=4), 2)
+                   .alias("total_value"))
+              .select(F.col("win.start").alias("window_start"),
+                      "event_type", "n_events", "total_value"))
+    streamed, m = run_scenario(spark, "hourly_rollup" + suffix, rollup,
+                               "update", n_rows)
+    # update-mode memory sink holds ONE ROW PER EMISSION: finalize each
+    # window at its max running n_events (a window is only re-emitted
+    # when it received rows, so n_events strictly increases per key)
+    final = (streamed.groupBy("window_start", "event_type")
+             .agg(F.max_by(F.struct("n_events", "total_value"),
+                           "n_events").alias("fin"))
+             .select("window_start", "event_type",
+                     F.col("fin.n_events").alias("n_events"),
+                     F.col("fin.total_value").alias("total_value")))
+    batch = (events
+             .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  pround(dsum(F.col("value"), scale=4), 2)
+                  .alias("total_value"))
+             .select(F.col("win.start").alias("window_start"),
+                     "event_type", "n_events", "total_value"))
+    m["streamed_equals_batch"] = (
+        {tuple(map(str, r)) for r in final.collect()}
+        == {tuple(map(str, r)) for r in batch.collect()})
+    scenarios["hourly_rollup"] = m
+
+    # -- scenario 2: stream-stream interval join (two-sided state) -----
+    join = stream_click_purchase_join(spark, "", lookback_minutes=60,
+                                      src=feed_stream())
+    streamed, m = run_scenario(spark, "stream_stream_join" + suffix, join,
+                               "append", n_rows, source_passes=2)
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("cu"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("cts")))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("pu"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("pts")))
+    batch_pairs = purchases.join(
+        clicks,
+        (F.col("pu") == F.col("cu")) & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 60 MINUTES"))
+    ).select("purchase_id", "click_id")
+    got = streamed.select("purchase_id", "click_id")
+    # pair volume scales with the fixture — compare distributed
+    # (two-sided exceptAll), never via driver-side Python sets
+    m["output_pairs"] = got.count()
+    m["streamed_equals_batch"] = (
+        m["output_pairs"] == batch_pairs.count()
+        and got.exceptAll(batch_pairs).count() == 0
+        and batch_pairs.exceptAll(got).count() == 0)
+    scenarios["stream_stream_join"] = m
+
+    # -- scenario 3: applyInPandasWithState running totals -------------
+    totals = stream_running_totals(spark, "", src=feed_stream())
+    streamed, m = run_scenario(spark, "running_totals" + suffix, totals,
+                               "update", n_rows)
+    got_rows = (streamed.groupBy("event_type")
+                .agg(F.max_by(F.struct("running_events", "running_value"),
+                              "running_events").alias("fin"))
+                .select("event_type",
+                        F.col("fin.running_events").alias("n"),
+                        F.col("fin.running_value").alias("v")).collect())
+    want_rows = (events.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("value").alias("v")).collect())
+    got_map = {r["event_type"]: (r["n"], r["v"]) for r in got_rows}
+    want_map = {r["event_type"]: (r["n"], r["v"]) for r in want_rows}
+    # counts exact; the float fold accumulates in feed order while the
+    # batch sum is shuffle-order — equal within rounding slack (the
+    # same contract test_stateful_running_totals pins)
+    m["streamed_equals_batch"] = (
+        set(got_map) == set(want_map)
+        and all(got_map[k][0] == want_map[k][0] for k in want_map)
+        and all(abs(got_map[k][1] - want_map[k][1])
+                <= max(0.05, abs(want_map[k][1]) * 1e-9)
+                for k in want_map))
+    scenarios["running_totals"] = m
+
+    return scenarios
 
 
 if __name__ == "__main__":
