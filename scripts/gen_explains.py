@@ -9,6 +9,7 @@ from ecommerce_data_engineering_spark.plans import REGISTRY
 KEY = ["pricing_summary", "revenue_by_nation", "top_products",
        "campaign_attribution_scalable", "dedup_minhash_lsh",
        "embedding_cosine_topk", "embedding_ann_lsh",
+       "embedding_ann_production",
        "customer_metrics", "fact_orders_upsert",
        "corpus_deterministic_sample", "corpus_sequence_packing",
        "corpus_curation_funnel", "corpus_decontaminate",
@@ -47,6 +48,15 @@ NOTES = {
         "the plan shows plain array literals, no md5 call.  Bucket "
         "equi-join, exact cosine within buckets, per-query window "
         "top-k; never all-pairs."),
+    "embedding_ann_production": (
+        "The deployable ANN operating point (VERDICT r7 #2): IVF with "
+        "32 deterministic seed cells, queries probing their 16 nearest "
+        "cells (recall@5 = 0.836 sf0.1 / 0.892 16x vs the exact cosine "
+        "yardstick, floor pinned in tests/test_recall_evidence.py).  "
+        "Plan shape is the IVF family's: centroid broadcast cross + "
+        "per-vector rank to assign cells, then a cluster_id equi-join "
+        "— candidate generation is never all-pairs, and raising recall "
+        "costs probes (a constant), not plan changes."),
     "corpus_decontaminate": (
         "Shingles compress to 64-bit md5-prefix keys before the join; "
         "with a benchmark-sized eval set the eval side auto-broadcasts "

@@ -159,16 +159,20 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
 #
 # Cross-engine canonicalization is the hard part; every rule below is
 # pinned by tests/test_bounded_compare.py against hostile values:
-#   * floats: fixed-point via floor(x*1e9 + 0.5) computed in DOUBLE
-#     (bit-identical IEEE ops in both engines — the ROUNDING DECISION
-#     happens in arithmetic, not in string formatting, so printf
-#     half-up-vs-half-even tie divergence can't occur), then
-#     printf('%.0f', ·) which renders an integral double exactly in
-#     both engines for |x| < 1e15.  Beyond double's integer precision
-#     Java pads shortest-repr with zeros while C prints the exact
-#     binary expansion (1.5e22 renders differently) — so any float
-#     column whose max |x| ≥ 1e15 aborts to the full compare instead
-#     of guessing (the digest query itself measures this, same scan).
+#   * floats: MAGNITUDE-BANDED fixed-point via floor(x·scale + 0.5)
+#     computed in DOUBLE (bit-identical IEEE ops in both engines — the
+#     ROUNDING DECISION happens in arithmetic, not in string
+#     formatting, so printf half-up-vs-half-even tie divergence can't
+#     occur), then printf('%.0f', ·).  The bands (scale 1e9 below 9e6,
+#     1e3 below 9e12, 1 below 9e15, prefixed A/B/C) keep the integral
+#     double handed to printf under 2^53 ≈ 9.007e15 — the regime where
+#     BOTH engines print exact digits; above it Java %f pads
+#     shortest-repr with zeros while C prints the exact binary
+#     expansion (a 3e10 money sum at 9 decimals is 3e19: caught live
+#     on customer_segmentation at the 4x fixture).  Band granularity
+#     tracks the double's own ulp, and any float column whose max |x|
+#     ≥ 9e15 aborts to the full compare instead of guessing (the
+#     digest query itself measures this, same scan).
 #   * NULL → '∅' and NaN → '∅' (mirrors _norm_cell), ±inf explicit.
 #   * timestamps via unix_micros/epoch_us (integer microseconds —
 #     engines disagree on trailing-zero trimming of cast-to-string).
@@ -178,7 +182,7 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 DIGEST_SEP = "\x1f"
-DIGEST_FLOAT_CAP = 1e15
+DIGEST_FLOAT_CAP = 9e15
 
 
 class DigestUnsupported(ValueError):
@@ -217,13 +221,29 @@ def _canon_expr(col: str, family: str, engine: str) -> str:
                     f"'%Y-%m-%d %H:%M:%S.%f')")
         return f"CASE WHEN {q} IS NULL THEN '∅' ELSE {fmt} END"
     if family == "float":
+        # Piecewise fixed-point, banded by magnitude so the integral
+        # double handed to printf NEVER exceeds 2^53 ≈ 9.007e15 — the
+        # regime where both engines print exact digits.  Beyond it
+        # Java %f pads shortest-repr digits with zeros while C prints
+        # the exact binary expansion (a 3e10 money sum at 9 decimals
+        # is 3e19: diverges — caught live on customer_segmentation at
+        # the 4x fixture).  Band prefixes prevent cross-band
+        # collisions; each band's granularity (1e-9 / 1e-3 / 1) is at
+        # or below the double's own ulp at that magnitude, so no
+        # meaningful precision is lost.  The band predicate is an IEEE
+        # comparison on the same double in both engines — identical.
         x = f"CAST({q} AS DOUBLE)"
         printf = "format_string" if engine == "spark" else "printf"
-        fixed = _ffloor(f"({x} * 1e9 + 0.5)")
+        nano = _ffloor(f"({x} * 1e9 + 0.5)")
+        milli = _ffloor(f"({x} * 1e3 + 0.5)")
+        unit = _ffloor(f"({x} + 0.5)")
         return (f"CASE WHEN {q} IS NULL OR isnan({x}) THEN '∅' "
                 f"WHEN {x} = CAST('Infinity' AS DOUBLE) THEN 'inf' "
                 f"WHEN {x} = CAST('-Infinity' AS DOUBLE) THEN '-inf' "
-                f"ELSE {printf}('%.0f', {fixed}) END")
+                f"WHEN abs({x}) < 9e6 THEN 'A' || {printf}('%.0f', {nano}) "
+                f"WHEN abs({x}) < 9e12 THEN 'B' || {printf}('%.0f', {milli}) "
+                f"WHEN abs({x}) < 9e15 THEN 'C' || {printf}('%.0f', {unit}) "
+                f"ELSE 'D' END")
     raise DigestUnsupported(f"column {col!r}: family {family!r}")
 
 
@@ -358,13 +378,14 @@ def digest_compare(spark_df, oracle_sql: str, sf_dir: str,
     d_row = con.execute(
         digest_sql("duck", d_fams, "__oracle")).fetchone()
 
-    # float-magnitude guard: printf parity is only proven below 1e15
+    # float-magnitude guard: the top band ends at 9e15 (≈2^53); above
+    # it the canon collapses to a constant, so force the full compare
     for i, c in enumerate(float_cols):
         for side, row in (("spark", s_row), ("oracle", d_row)):
             cap = row[2 + i]
             if cap is not None and float(cap) >= DIGEST_FLOAT_CAP:
                 raise DigestUnsupported(
-                    f"column {c!r} |max| = {cap!r} ≥ 1e15 on the "
+                    f"column {c!r} |max| = {cap!r} ≥ 9e15 on the "
                     f"{side} side — beyond cross-engine printf parity")
 
     n_s, n_d = int(s_row[0]), int(d_row[0])

@@ -34,6 +34,14 @@ ROWS = [
     "SELECT 5, 'unicode ∅µ', 123456789.123456789, DATE '2024-01-02', "
     "TIMESTAMP '2024-01-02 03:04:05', FALSE",
     "SELECT 6, 'nan-row', CAST('nan' AS DOUBLE), NULL, NULL, TRUE",
+    # magnitude bands: a 3e10-class money sum (the live 4x-fixture
+    # divergence: x*1e9 > 2^53 where Java/C printf disagree), values
+    # hugging the A/B and B/C band edges, and a negative mid-band
+    "SELECT 7, 'bandB', CAST(30224470000.1234 AS DOUBLE), NULL, NULL, TRUE",
+    "SELECT 8, 'bandA-edge', CAST(8999999.9999 AS DOUBLE), NULL, NULL, TRUE",
+    "SELECT 9, 'bandB-edge', CAST(9000000.0001 AS DOUBLE), NULL, NULL, FALSE",
+    "SELECT 10, 'bandC', CAST(9.1e12 AS DOUBLE), NULL, NULL, TRUE",
+    "SELECT 11, 'bandB-neg', CAST(-30224470000.1234 AS DOUBLE), NULL, NULL, FALSE",
 ]
 ORACLE = " UNION ALL ".join(ROWS)
 
@@ -90,9 +98,9 @@ def test_digest_is_order_insensitive(spark):
 
 
 def test_digest_refuses_big_floats(spark):
-    big = ORACLE.replace("1.23", "1.5e22")
+    big = ORACLE.replace("CAST(1.23 AS DOUBLE)", "CAST(1.5e22 AS DOUBLE)")
     sdf = _spark_literal_df(spark, big)
-    with pytest.raises(DigestUnsupported, match="1e15"):
+    with pytest.raises(DigestUnsupported, match="printf parity"):
         digest_compare(sdf, big, SF, "big")
 
 

@@ -75,6 +75,22 @@ def test_scaled_fixture_records_cover_the_bench_set():
         and pairs["n_ok"] == 4 and pairs["all"] is True
 
 
+def test_skew_at_volume_record_covers_the_bench_set():
+    """VERDICT r7 #6: skew and volume must compound — the pathological
+    -key fixture regenerated FROM the 16x corpus (hot keys, NULL mass,
+    giant dup cliques at 16x volume) sweeps the full bench set with 0
+    failures, proving the salted/null-safe join paths and the LSH
+    hot-bucket cap hold when both stresses apply at once."""
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+
+    bench = {n for n, s in REGISTRY.items()
+             if s.bench and s.oracle is not None}
+    rec = json.load(open(os.path.join(EVID, "SCALE_SWEEP_skew16x.json")))
+    assert rec["subset"] == "bench" and rec["n_failed"] == 0
+    assert rec["n_ok"] == len(bench)
+    assert "skew16x" in rec["fixture"]
+
+
 def test_16x_full_registry_record_covers_everything_tractable():
     """VERDICT r6 #4: the FULL registry verifies at 16x, not just the
     bench subset — every oracled query runs except the six
