@@ -69,5 +69,9 @@ python scripts/bucketed_join_bench.py /tmp/sf_64x
 echo "== 7. scaling ladder (IDLE BOX; table quoted in SCALE.md) =="
 python scripts/bench_scaling.py 0.1=/tmp/sf0.1_rg8
 
+echo "== 8. consecutive suspect-free bench pair (IDLE BOX) =="
+# pass the round number; refuses to write if either run self-flags
+python scripts/bench_consec.py "${ROUND:-0}"
+
 echo "== assert everything green and cited =="
 python scripts/check_scale_evidence.py
