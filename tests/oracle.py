@@ -334,11 +334,14 @@ def digest_compare(spark_df, oracle_sql: str, sf_dir: str,
             f"columns not canonicalizable engine-side: "
             f"{[(c, spark_types[c]) for c in unsup]}")
 
-    # dtype-family check on bounded samples (object-column oddities the
-    # declared types can hide, e.g. Decimal cells in an object column)
-    problems += dtype_problems(
-        spark_df.limit(200).toPandas(),
-        con.execute("SELECT * FROM __oracle LIMIT 200").fetchdf(), name)
+    # NO sample-based dtype check once the DECLARED families match:
+    # the declared types (spark_df.dtypes / DESCRIBE) are complete and
+    # engine-authoritative, while pandas samples false-positive — a
+    # nullable BIGINT column converts to float64 exactly when the
+    # 200-row sample happens to contain a NULL, and the two engines'
+    # LIMIT samples pick different rows (caught live on
+    # purchase_click_asof at the 4x fixture: declared bigint==BIGINT,
+    # spark sample nulled → float64, oracle sample not → int64).
 
     float_cols = [c for c in cols if s_fams[c] == "float"]
 
