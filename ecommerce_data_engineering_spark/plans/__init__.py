@@ -88,10 +88,11 @@ _PRIORITY = [
     #  EXT-window taken by customer_value_quartiles; revenue_rollup →
     #  EXT-rollup by events_rollup_cascade; event_type_pivot →
     #  EXT-pivot by unpivot_monthly_metrics)
+    # (order_value_percentiles → tier 10 in r8 after its r7 row:
+    #  EXT-percentile stays carried by the approx variant below)
     "customer_value_quartiles",      # EXT-window ntile (r7 first-timer)
     "events_rollup_cascade",         # EXT-rollup A1 (r7 first-timer)
     "unpivot_monthly_metrics",       # EXT-pivot stack/unpivot (r7 first-timer)
-    "order_value_percentiles",       # EXT-percentile exact (r7 first-timer)
     "order_value_percentiles_approx",  # EXT-percentile EXT-approx
     "events_json_props",             # P3 EXT-json
     # --- tier 5: dedup family (embedding-dedup pair + dedup_stats →
@@ -107,6 +108,7 @@ _PRIORITY = [
     #     lazy rewrite under the driver) ---
     "embedding_ann_ivf",
     "embedding_ann_production",      # deployable ANN (r8 first-timer)
+    "embedding_index_delta",         # O(new) index maintenance (r8 first-timer)
     "embedding_ivf_kmeans",          # k-means trainer (lazy since r8)
     # --- tier 7: text analysis (doc_stats / corpus_token_topk →
     #     tier 10 in r8 after their r7 rows) ---
@@ -133,6 +135,7 @@ _PRIORITY = [
     # tier-10 query has ≥1 round of green driver rows and stays
     # bench-measured + locally diffed.
     "pipeline_customer_metrics",
+    "order_value_percentiles",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
     "corpus_dedup_stats",

@@ -1089,6 +1089,97 @@ def embedding_ann_production(spark: SparkSession, sf_dir: str) -> DataFrame:
                             PROD_NPROBE)
 
 
+# "Newly arrived" slice for the incremental index-maintenance query:
+# a deterministic ~14% of vec_ids, mirrored literally in the oracle.
+INDEX_NEW_MOD = 7
+INDEX_NEW_REM = 3
+
+
+def _index_delta_oracle() -> str:
+    return f"""
+    WITH {_VEC_CTE},
+    cent AS (
+      SELECT CAST(vec_id / {PROD_SEED_STEP} AS INT) AS cluster_id, i, x
+      FROM v WHERE vec_id % {PROD_SEED_STEP} = 0
+        AND vec_id < {PROD_IVF_K * PROD_SEED_STEP}
+    ), dist AS (
+      -- join norms: the Spark side assigns with_norm(emb), which
+      -- excludes zero-norm/empty vectors — mirror that here
+      SELECT v.vec_id, c.cluster_id,
+             floor(sum((v.x - c.x) * (v.x - c.x)) * 1000000000 + 0.5) / 1000000000 AS d2
+      FROM v
+      JOIN norms nm ON v.vec_id = nm.vec_id
+      JOIN cent c ON v.i = c.i
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+      FROM dist
+    ),
+    a AS (SELECT vec_id, cluster_id FROM ranked WHERE rn = 1),
+    oldc AS (
+      SELECT cluster_id, count(*) AS n_existing FROM a
+      WHERE vec_id % {INDEX_NEW_MOD} <> {INDEX_NEW_REM} GROUP BY 1
+    ),
+    newc AS (
+      SELECT cluster_id, count(*) AS n_new FROM a
+      WHERE vec_id % {INDEX_NEW_MOD} = {INDEX_NEW_REM} GROUP BY 1
+    )
+    SELECT COALESCE(o.cluster_id, n.cluster_id) AS cluster_id,
+           COALESCE(o.n_existing, 0) AS n_existing,
+           COALESCE(n.n_new, 0) AS n_new,
+           floor(COALESCE(n.n_new, 0) * 1.0
+                 / (COALESCE(o.n_existing, 0) + COALESCE(n.n_new, 0))
+                 * 10000 + 0.5) / 10000 AS share_new
+    FROM oldc o FULL OUTER JOIN newc n ON o.cluster_id = n.cluster_id
+    """
+
+
+@query("embedding_index_delta", oracle=_index_delta_oracle(),
+       covers=("EXT-similarity",))
+def embedding_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the embedding-store twin of
+    the CDC family's O(changes) discipline: newly arrived vectors (a
+    deterministic vec_id slice standing in for today's ingest) are
+    assigned to the EXISTING production quantizer (the fixed
+    PROD_IVF_K-cell centroid grid of embedding_ann_production) without
+    touching stored vectors or retraining, and the query emits the
+    per-cell maintenance report (existing count, new count, share of
+    cell that is new — the drift signal that schedules a
+    kmeans_refine_lazy retrain).
+
+    At 100 TB this is the path that keeps a daily-growing embedding
+    store searchable: assignment costs O(|new| · k_cells · dim) — one
+    broadcast cross over the ingest slice only — while the
+    existing-side counts come from index metadata (recomputed here so
+    the oracle can verify both sides of the report end-to-end).
+    Centroids stay fixed, so every previously stored vector's cell is
+    unchanged by construction and the search plan
+    (embedding_ann_production) needs no replan."""
+    from ..operators.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (emb.filter((F.col("vec_id") % PROD_SEED_STEP == 0)
+                        & (F.col("vec_id") < PROD_IVF_K * PROD_SEED_STEP))
+             .select((F.col("vec_id") / PROD_SEED_STEP).cast("int")
+                     .alias("cluster_id"), "embedding"))
+    assigned = ivf_assign(S.with_norm(emb), cents).select(
+        "vec_id", "cluster_id")
+    is_new = F.col("vec_id") % INDEX_NEW_MOD == INDEX_NEW_REM
+    oldc = (assigned.filter(~is_new).groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_existing")))
+    newc = (assigned.filter(is_new).groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_new")))
+    n_old = F.coalesce(F.col("n_existing"), F.lit(0))
+    n_new = F.coalesce(F.col("n_new"), F.lit(0))
+    return (oldc.join(newc, "cluster_id", "full")
+            .select(F.col("cluster_id"),
+                    n_old.alias("n_existing"),
+                    n_new.alias("n_new"),
+                    pround(n_new * 1.0 / (n_old + n_new), 4)
+                    .alias("share_new")))
+
+
 def _clusters_oracle() -> str:
     # transitive closure by recursive CTE (fine at candidate-pair scale;
     # the Spark side is the one that must scale)

@@ -49,6 +49,7 @@ ROTATION_COHORT_R8 = {
     "corpus_mix_rebalance", "corpus_source_mix",
     "corpus_token_histogram",
     "embedding_ann_production",
+    "embedding_index_delta",
 }
 
 
@@ -99,7 +100,9 @@ def test_rotation_cohort_in_window_and_truly_first_time():
     stale = ROTATION_COHORT_R8 & seen
     assert not stale, f"cohort members already driver-verified: {stale}"
     # the r8 done-bar (VERDICT r7 #1+#2): 7 curation + the ANN flagship
-    assert len(ROTATION_COHORT_R8) == 8
+    # + the new O(new) index-maintenance query (born in r8, enters the
+    # window immediately — the rotation-complete invariant requires it)
+    assert len(ROTATION_COHORT_R8) == 9
 
 
 def test_rotation_program_complete():
