@@ -12,6 +12,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 export SPARK_DRIVER_MEMORY="${SPARK_DRIVER_MEMORY:-24g}"
 
+# commit-time guard (VERDICT r8 #1): make sure the pre-commit hook that
+# re-asserts evidence freshness is installed in this checkout, so a
+# regenerated record can't be committed with a stale SCALE.md citation
+bash scripts/install_hooks.sh
+
 echo "== fixtures =="
 python scripts/make_scaled_fixture.py /tmp/sf_synth 4
 python scripts/make_scaled_fixture.py /tmp/sf_16x 16
@@ -71,7 +76,10 @@ python scripts/bench_scaling.py 0.1=/tmp/sf0.1_rg8
 
 echo "== 8. consecutive suspect-free bench pair (IDLE BOX) =="
 # pass the round number; refuses to write if either run self-flags
-python scripts/bench_consec.py "${ROUND:-0}"
+# fail fast when ROUND is unset (ADVICE r8): defaulting to 0 wrote a
+# mislabeled BENCH_CONSEC_r00.json nobody cites while the real
+# per-round record stayed stale
+python scripts/bench_consec.py "${ROUND:?set ROUND to the current round number}"
 
 echo "== assert everything green and cited =="
 python scripts/check_scale_evidence.py

@@ -228,22 +228,27 @@ def _canon_expr(col: str, family: str, engine: str) -> str:
         # the exact binary expansion (a 3e10 money sum at 9 decimals
         # is 3e19: diverges — caught live on customer_segmentation at
         # the 4x fixture).  Band prefixes prevent cross-band
-        # collisions; each band's granularity (1e-9 / 1e-3 / 1) is at
-        # or below the double's own ulp at that magnitude, so no
-        # meaningful precision is lost.  The band predicate is an IEEE
-        # comparison on the same double in both engines — identical.
+        # collisions.  Per-band granularity (the real tolerance of the
+        # bounded compare, NOT ulp-exact everywhere): 1e-9 below 9e6,
+        # 1e-6 for 9e6–9e9, 1e-3 for 9e9–9e12, 1.0 for 9e12–9e15 —
+        # each chosen so the integral double handed to printf stays
+        # under 2^53 (9e9·1e6 = 9e15 < 2^53).  The band predicate is
+        # an IEEE comparison on the same double in both engines —
+        # identical.
         x = f"CAST({q} AS DOUBLE)"
         printf = "format_string" if engine == "spark" else "printf"
         nano = _ffloor(f"({x} * 1e9 + 0.5)")
+        micro = _ffloor(f"({x} * 1e6 + 0.5)")
         milli = _ffloor(f"({x} * 1e3 + 0.5)")
         unit = _ffloor(f"({x} + 0.5)")
         return (f"CASE WHEN {q} IS NULL OR isnan({x}) THEN '∅' "
                 f"WHEN {x} = CAST('Infinity' AS DOUBLE) THEN 'inf' "
                 f"WHEN {x} = CAST('-Infinity' AS DOUBLE) THEN '-inf' "
                 f"WHEN abs({x}) < 9e6 THEN 'A' || {printf}('%.0f', {nano}) "
-                f"WHEN abs({x}) < 9e12 THEN 'B' || {printf}('%.0f', {milli}) "
-                f"WHEN abs({x}) < 9e15 THEN 'C' || {printf}('%.0f', {unit}) "
-                f"ELSE 'D' END")
+                f"WHEN abs({x}) < 9e9 THEN 'B' || {printf}('%.0f', {micro}) "
+                f"WHEN abs({x}) < 9e12 THEN 'C' || {printf}('%.0f', {milli}) "
+                f"WHEN abs({x}) < 9e15 THEN 'D' || {printf}('%.0f', {unit}) "
+                f"ELSE 'E' END")
     raise DigestUnsupported(f"column {col!r}: family {family!r}")
 
 
@@ -277,7 +282,9 @@ def digest_compare(spark_df, oracle_sql: str, sf_dir: str,
     float magnitudes past printf parity — callers fall back to
     `compare`.  Verdict-compatible with `compare` by construction:
     same columns, same row multiset ⇒ same digest; any count or value
-    difference (beyond the shared 1e-9 float granularity) ⇒ digest
+    difference (beyond the shared per-magnitude-band float
+    granularity — 1e-9 below 9e6, 1e-6 to 9e9, 1e-3 to 9e12, 1.0 to
+    9e15; see _canon_expr) ⇒ digest
     mismatch."""
     problems: list[str] = []
     cols = sorted(spark_df.columns)

@@ -36,12 +36,16 @@ ROWS = [
     "SELECT 6, 'nan-row', CAST('nan' AS DOUBLE), NULL, NULL, TRUE",
     # magnitude bands: a 3e10-class money sum (the live 4x-fixture
     # divergence: x*1e9 > 2^53 where Java/C printf disagree), values
-    # hugging the A/B and B/C band edges, and a negative mid-band
-    "SELECT 7, 'bandB', CAST(30224470000.1234 AS DOUBLE), NULL, NULL, TRUE",
+    # hugging the A/B, B/C and C/D band edges, and negative mid-band
+    "SELECT 7, 'bandC', CAST(30224470000.1234 AS DOUBLE), NULL, NULL, TRUE",
     "SELECT 8, 'bandA-edge', CAST(8999999.9999 AS DOUBLE), NULL, NULL, TRUE",
     "SELECT 9, 'bandB-edge', CAST(9000000.0001 AS DOUBLE), NULL, NULL, FALSE",
-    "SELECT 10, 'bandC', CAST(9.1e12 AS DOUBLE), NULL, NULL, TRUE",
-    "SELECT 11, 'bandB-neg', CAST(-30224470000.1234 AS DOUBLE), NULL, NULL, FALSE",
+    "SELECT 10, 'bandD', CAST(9.1e12 AS DOUBLE), NULL, NULL, TRUE",
+    "SELECT 11, 'bandC-neg', CAST(-30224470000.1234 AS DOUBLE), NULL, NULL, FALSE",
+    # the ADVICE r8 band: 9e6–9e9 at 1e-6 granularity (a 1e7-magnitude
+    # money sum used to be quantized at 1e-3, hiding sub-5e-4 drift)
+    "SELECT 12, 'bandB-mid', CAST(30724470.123456 AS DOUBLE), NULL, NULL, TRUE",
+    "SELECT 13, 'bandB/C-edge', CAST(9000000000.0001 AS DOUBLE), NULL, NULL, FALSE",
 ]
 ORACLE = " UNION ALL ".join(ROWS)
 
@@ -79,6 +83,15 @@ def test_digest_detects_dropped_and_swapped_rows(spark):
     assert errs and "row count" in errs[0]
     swapped = ORACLE.replace("'plain'", "'plaim'")
     errs = digest_compare(sdf, swapped, SF, "swapped")
+    assert errs and "digest differs" in errs[0]
+
+
+def test_digest_detects_midband_micro_drift(spark):
+    # ADVICE r8: a 5e-4 drift in a 1e7-magnitude column was invisible
+    # under the old 1e-3 band; the 1e-6 band must catch it
+    bad = ORACLE.replace("30724470.123456", "30724470.123956")
+    sdf = _spark_literal_df(spark, ORACLE)
+    errs = digest_compare(sdf, bad, SF, "midband-drift")
     assert errs and "digest differs" in errs[0]
 
 

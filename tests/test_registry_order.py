@@ -93,7 +93,13 @@ def test_rotation_cohort_in_window_and_truly_first_time():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-7].json")):
+    # rounds strictly BEFORE the cohort's own round (r8) — parse the
+    # round number instead of a single-digit glob so the check stays
+    # right past r9 (ADVICE r8)
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        if rnd >= 8:
+            continue
         with open(path) as f:
             seen |= set(json.load(f))
     assert seen, "past CORRECTNESS artifacts missing — wrong cwd?"
@@ -106,9 +112,9 @@ def test_rotation_cohort_in_window_and_truly_first_time():
 
 
 def test_rotation_program_complete():
-    """After the r8 window lands, EVERY registered query is either in
+    """After the r8 window landed, EVERY registered query is either in
     the current driver window or already holds an official driver row
-    from r1–r7 — the 117-query rotation program's completion claim,
+    from a committed past round — the rotation program's completion claim,
     pinned so a future query addition must enter the window (or this
     test forces the claim to be restated)."""
     import glob
@@ -117,7 +123,10 @@ def test_rotation_program_complete():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-7].json")):
+    # ALL committed driver artifacts count as official rows here —
+    # glob every round so the completion invariant keeps growing past
+    # r9 instead of silently freezing at r7 (ADVICE r8)
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         with open(path) as f:
             seen |= set(json.load(f))
     window_names = set(list(REGISTRY)[:DRIVER_WINDOW])
@@ -165,6 +174,9 @@ def test_bench_final_json_line_fits_driver_tail():
         "unit": "sec", "queries": queries, "sf": 0.1,
         # worst case: every benched query self-flags as suspect
         "suspect": sorted(queries),
+        # shared-roster subtotals (VERDICT r8 #6) ride the final line
+        "value_shared_prev": 99999.999,
+        "value_shared_prev_baseline": 99999.999,
     }, separators=(",", ":"))
     assert len(line) <= 1800, (
         f"final bench line would be {len(line)} chars; trim the bench "
