@@ -287,7 +287,7 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
 
 
 def _lloyd_step(df: DataFrame, centroids: DataFrame, id_col: str,
-                vec_col: str) -> DataFrame:
+                vec_col: str, quantize: int | None = None) -> DataFrame:
     """ONE Lloyd's iteration as a pure (lazy) DataFrame transform:
     assign every vector to its nearest centroid (broadcast cross, the
     :func:`ivf_assign` kernel), recompute each cell's element-wise
@@ -296,13 +296,25 @@ def _lloyd_step(df: DataFrame, centroids: DataFrame, id_col: str,
     triggered — callers choose between the driver-hop form
     (:func:`kmeans_refine`, flat plans for many iterations) and the
     fully-lazy form (:func:`kmeans_refine_lazy`, zero jobs until the
-    result is consumed)."""
+    result is consumed).
+
+    ``quantize``: round each mean component with pround(·, quantize)
+    (the portable floor-form).  Float SUMMATION ORDER differs between
+    engines (and between partitionings), so raw means drift a few
+    ulps; quantizing at 1e-9 pins both engines — and any cluster
+    layout — to identical centroid bits, which is what lets a DuckDB
+    oracle replay the trained quantizer exactly
+    (embedding_ann_production since r9)."""
+    from ..functions.rounding import pround
+
     assigned = ivf_assign(df.select(id_col, vec_col), centroids,
                           id_col=id_col, vec_col=vec_col, nprobe=1)
+    mean = F.avg(F.col("col").cast("double"))
     means = (assigned
              .select("cluster_id", F.posexplode(vec_col))
              .groupBy("cluster_id", "pos")
-             .agg(F.avg(F.col("col").cast("double")).alias("v"))
+             .agg((pround(mean, quantize) if quantize is not None
+                   else mean).alias("v"))
              .groupBy("cluster_id")
              .agg(F.expr("transform(array_sort(collect_list("
                          "struct(pos, v))), s -> s.v)").alias("__new")))
@@ -315,7 +327,9 @@ def _lloyd_step(df: DataFrame, centroids: DataFrame, id_col: str,
 
 def kmeans_refine_lazy(df: DataFrame, centroids: DataFrame,
                        n_iter: int = 3, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       quantize: int | None = None,
+                       persist_steps: bool = False) -> DataFrame:
     """Lloyd's-iteration refinement with NO driver hops: the centroid
     table stays a lazy DataFrame through every iteration, so building
     the plan launches zero Spark jobs (VERDICT r7 #3 — registered
@@ -328,10 +342,29 @@ def kmeans_refine_lazy(df: DataFrame, centroids: DataFrame,
     fixed iteration counts a coarse-quantizer trainer uses (≤ ~5).
     For long training runs prefer :func:`kmeans_refine`, which
     flattens lineage with an O(k·d) driver hop per iteration (the
-    MLlib pattern)."""
+    MLlib pattern).
+
+    ``quantize`` (forwarded to :func:`_lloyd_step`): pround each mean
+    at 10^-quantize so the trained centroids are bit-identical across
+    engines and partitionings — required when an SQL oracle replays
+    the training.
+
+    ``persist_steps``: mark each iteration's (k·d)-float centroid
+    table with ``persist()`` — still zero jobs at construction (the
+    cache fills on first use), but every LATER reference becomes an
+    in-memory scan instead of a re-derivation.  Without it a consumer
+    that references the trained table twice (e.g. corpus + query
+    assignment in embedding_ann_production) re-expands the whole
+    nested training lineage per reference — the plan grows
+    exponentially in n_iter (measured: 27 windows / 35 exchanges for
+    n_iter=2 consumed twice, vs 5/8 persisted).  This is the same
+    iterative-lineage discipline dedup_clusters applies with
+    localCheckpoint, at k·d-scalar cost."""
     cur = centroids.select("cluster_id", F.col(vec_col))
     for _ in range(n_iter):
-        cur = _lloyd_step(df, cur, id_col, vec_col)
+        cur = _lloyd_step(df, cur, id_col, vec_col, quantize=quantize)
+        if persist_steps:
+            cur = cur.persist()
     return cur
 
 

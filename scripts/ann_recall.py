@@ -46,23 +46,27 @@ NPROBE_SWEEP = [1, 2, 4, 8]
 
 
 def _ivf_candidates_per_query(spark, sf_dir: str, ivf_k: int,
-                              seed_step: int, nprobe: int) -> float:
+                              seed_step: int, nprobe: int,
+                              train_iters: int = 0) -> float:
     """Mean candidates examined per query = corpus rows living in the
     query's probed cells — the cost side of the recall/cost trade the
-    production flagship must report (VERDICT r7 #2)."""
+    production flagship must report (VERDICT r7 #2).  ``train_iters``
+    mirrors the registered plan's quantized-Lloyd's refinement (r9:
+    the production point searches on the trained quantizer)."""
     from pyspark.sql import functions as F
 
     from ecommerce_data_engineering_spark.operators import similarity as S
-    from ecommerce_data_engineering_spark.operators.similarity import ivf_assign
+    from ecommerce_data_engineering_spark.operators.similarity import (
+        ivf_assign, kmeans_refine_lazy)
     from ecommerce_data_engineering_spark.plans.extensions import (
-        ANN_QUERY_LIMIT)
+        ANN_QUERY_LIMIT, _seed_centroids)
     from ecommerce_data_engineering_spark.sources.readers import load
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = (emb.filter((F.col("vec_id") % seed_step == 0)
-                        & (F.col("vec_id") < ivf_k * seed_step))
-             .select((F.col("vec_id") / seed_step).cast("int")
-                     .alias("cluster_id"), "embedding"))
+    cents = _seed_centroids(emb, ivf_k, seed_step)
+    if train_iters:
+        cents = kmeans_refine_lazy(emb, cents, n_iter=train_iters,
+                                   quantize=9)
     cell_pop = ivf_assign(S.with_norm(emb), cents).groupBy("cluster_id").count()
     probed = ivf_assign(
         S.with_norm(emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)),
@@ -184,13 +188,15 @@ def main() -> None:
         # and the corpus fraction that represents) so the trade is a
         # recorded fact, not a docstring claim
         from ecommerce_data_engineering_spark.plans.extensions import (
-            PROD_IVF_K, PROD_NPROBE, PROD_SEED_STEP)
+            PROD_IVF_K, PROD_NPROBE, PROD_SEED_STEP, PROD_TRAIN_ITERS)
         from ecommerce_data_engineering_spark.sources.readers import load
         n_corpus = load(spark, sf_dir, "embeddings").count()
         cand_q = _ivf_candidates_per_query(
-            spark, sf_dir, PROD_IVF_K, PROD_SEED_STEP, PROD_NPROBE)
+            spark, sf_dir, PROD_IVF_K, PROD_SEED_STEP, PROD_NPROBE,
+            train_iters=PROD_TRAIN_ITERS)
         production = {
             "ivf_k": PROD_IVF_K, "nprobe": PROD_NPROBE,
+            "train_iters": PROD_TRAIN_ITERS,
             "recall_at_k": ann["embedding_ann_production"]["recall_at_k"],
             "candidates_per_query": round(cand_q, 1),
             "corpus_fraction": round(cand_q / n_corpus, 4),

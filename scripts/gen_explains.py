@@ -49,14 +49,19 @@ NOTES = {
         "equi-join, exact cosine within buckets, per-query window "
         "top-k; never all-pairs."),
     "embedding_ann_production": (
-        "The deployable ANN operating point (VERDICT r7 #2): IVF with "
-        "32 deterministic seed cells, queries probing their 16 nearest "
-        "cells (recall@5 = 0.836 sf0.1 / 0.892 16x vs the exact cosine "
-        "yardstick, floor pinned in tests/test_recall_evidence.py).  "
-        "Plan shape is the IVF family's: centroid broadcast cross + "
-        "per-vector rank to assign cells, then a cluster_id equi-join "
-        "— candidate generation is never all-pairs, and raising recall "
-        "costs probes (a constant), not plan changes."),
+        "The deployable ANN operating point (VERDICT r7 #2, retrained "
+        "r8 #2): IVF with 32 cells refined by two quantized Lloyd's "
+        "iterations, queries probing their 14 nearest cells — training "
+        "buys recall per probe (higher recall than the r8 seed point "
+        "at a 12.5% smaller candidate budget; floor pinned in "
+        "tests/test_recall_evidence.py, numbers in evidence/RECALL."
+        "json).  Each training step's (k*d)-float centroid table is "
+        "persisted so reuse is an in-memory scan, not a lineage "
+        "re-expansion.  Plan shape stays the IVF family's: centroid "
+        "broadcast cross + per-vector rank to assign cells, then a "
+        "cluster_id equi-join — candidate generation is never "
+        "all-pairs, and raising recall costs probes (a constant), not "
+        "plan changes."),
     "corpus_decontaminate": (
         "Shingles compress to 64-bit md5-prefix keys before the join; "
         "with a benchmark-sized eval set the eval side auto-broadcasts "

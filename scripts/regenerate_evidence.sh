@@ -43,8 +43,11 @@ done
 echo "== 2. frontier sweeps (16x / 64x / skewed 16x) =="
 python scripts/scale_correctness.py /tmp/sf_16x --bench --bounded --tag=16x --force
 python scripts/scale_correctness.py /tmp/sf_16x --bounded --tag=16x_full --force
+# all SIX quadratic-oracle pair-emitters since r9 (VERDICT r8 #4) —
+# the two embedding all-pairs oracles are hours of single-node DuckDB
+# compute at 16x; run this record in the background
 python scripts/scale_correctness.py /tmp/sf_16x --all --bounded \
-  --only dedup_clusters,dedup_jaccard_prefix,dedup_ngram_jaccard,dedup_simhash_pairs \
+  --only dedup_clusters,dedup_jaccard_prefix,dedup_ngram_jaccard,dedup_simhash_pairs,dedup_embedding_cosine,dedup_embedding_clusters \
   --tag=16x_pairs --force
 # 64x: bench minus the two oracle-cost exclusions (list must mirror
 # tests/test_scale_evidence.py::test_scaled_fixture_records_cover_the_bench_set)

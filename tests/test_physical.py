@@ -397,10 +397,14 @@ SHUFFLE_BUDGET = {
     # embedding_cosine_topk left the bench set in r7 (VERDICT r6 #2:
     # deliberately-quadratic exact yardstick dominated the scaled
     # bench); its (1, 1) structural pin moves to EXTRA_BUDGET below.
-    # IVF-family shape: two assignment windows (corpus + queries,
-    # partitioned by vec_id), the cluster_id candidate join, the final
-    # per-query rank window; centroid table broadcast twice
-    "embedding_ann_production": (5, 2),
+    # IVF-family shape plus the r9 trained quantizer: two quantized
+    # Lloyd's iterations (per iteration: one assignment window over
+    # the corpus and two mean-side aggregations — the persisted
+    # (k·d)-float step tables are counted once, the cost their one
+    # materialization pays), then the two assignment windows (corpus +
+    # queries), the cluster_id candidate join, and the final per-query
+    # rank window; centroid/seed tables broadcast along the way
+    "embedding_ann_production": (13, 4),
     "events_hourly_rollup": (2, 0),
     "events_sessionization": (1, 0),
     "fact_lineitem_build": (0, 4),

@@ -110,12 +110,13 @@ def test_production_ann_recall_floor(rec):
     shipped constants — retuning the query without re-measuring turns
     the build red."""
     from ecommerce_data_engineering_spark.plans.extensions import (
-        PROD_IVF_K, PROD_NPROBE)
+        PROD_IVF_K, PROD_NPROBE, PROD_TRAIN_ITERS)
 
     for label, fx in rec["fixtures"].items():
         prod = fx["production"]
         assert prod["ivf_k"] == PROD_IVF_K, label
         assert prod["nprobe"] == PROD_NPROBE, label
+        assert prod["train_iters"] == PROD_TRAIN_ITERS, label
         assert prod["recall_at_k"] == \
             fx["ann"]["embedding_ann_production"]["recall_at_k"], label
         assert prod["recall_at_k"] >= 0.8, (

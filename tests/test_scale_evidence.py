@@ -68,11 +68,15 @@ def test_scaled_fixture_records_cover_the_bench_set():
         sorted(ran64.symmetric_difference(bench)))
     assert rec64["n_ok"] == len(ran64)
 
+    # r9 (VERDICT r8 #4): the pair-emitter record covers ALL SIX
+    # quadratic-oracle queries — the two embedding all-pairs oracles
+    # joined the sweep, so the 16x tier has zero untested queries
     pairs = json.load(open(os.path.join(EVID, "SCALE_SWEEP_16x_pairs.json")))
     assert set(pairs["subset"].removeprefix("only:").split(",")) == {
         "dedup_clusters", "dedup_jaccard_prefix",
-        "dedup_ngram_jaccard", "dedup_simhash_pairs"} \
-        and pairs["n_ok"] == 4 and pairs["all"] is True
+        "dedup_ngram_jaccard", "dedup_simhash_pairs",
+        "dedup_embedding_cosine", "dedup_embedding_clusters"} \
+        and pairs["n_ok"] == 6 and pairs["all"] is True
 
 
 def test_skew_at_volume_record_covers_the_bench_set():
@@ -95,10 +99,8 @@ def test_16x_full_registry_record_covers_everything_tractable():
     """VERDICT r6 #4: the FULL registry verifies at 16x, not just the
     bench subset — every oracled query runs except the six
     quadratic-oracle pair-emitters (skipped with an explicit list in
-    the record; four of those six are separately verified at 16x by
-    the _16x_pairs record, the two embedding all-pairs oracles are
-    excluded by single-node oracle cost with the bound documented in
-    SCALE.md)."""
+    the record; since r9 ALL six are separately verified at 16x by the
+    _16x_pairs record, so the tier as a whole has zero skips)."""
     from ecommerce_data_engineering_spark.plans import REGISTRY
 
     rec = json.load(open(os.path.join(EVID, "SCALE_SWEEP_16x_full.json")))
