@@ -264,19 +264,29 @@ def _simhash_pairs_oracle() -> str:
         f"(CASE WHEN substr(sh_a, {i}, 1) <> substr(sh_b, {i}, 1) THEN 1 ELSE 0 END)"
         for i in range(1, SIMHASH_NIBBLES + 1)
     )
+    # The Hamming predicate is applied INSIDE the candidate scan,
+    # BEFORE the DISTINCT (filter-past-distinct commutes, so the
+    # result set is identical): the band self-join's raw candidate
+    # volume is quadratic in the hottest (chunk, ckey) bucket, and
+    # DISTINCT-materializing hundreds of millions of 32-char pairs
+    # OOMed DuckDB on the r9 16x fixture — post-filter, the distinct
+    # set is just the true near-dup pairs.
     return f"""
     WITH {_simhash_fp_cte()},
     blocked AS (
       {blocked}
-    ), pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.simhash AS sh_a, b.simhash AS sh_b
       FROM blocked a JOIN blocked b
         ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT DISTINCT id_a, id_b, sh_a, sh_b
+      FROM cand
+      WHERE {hamming} <= {SIMHASH_MAX_HAMMING}
     )
     SELECT id_a, id_b, {hamming} AS hamming
     FROM pairs
-    WHERE {hamming} <= {SIMHASH_MAX_HAMMING}
     """
 
 
@@ -852,11 +862,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute-force all-pairs —
     the exact-recall form; the sign-LSH bucketing of embedding_ann_lsh
     is the corpus×corpus scale path).  Threshold 0.4 chosen for the
-    fixture corpus, whose max off-diagonal cosine is ~0.51."""
+    fixture corpus, whose max off-diagonal cosine is ~0.51.
+
+    The stream side is repartitioned to the session's shuffle
+    parallelism before the broadcast-nested-loop join: the fixture
+    parquet is 1-2 row groups, so without it the O(n²·d) pair compute
+    lands on TWO tasks regardless of core count (measured at 16×: one
+    straggler task carrying ~half of 512M pair-cosines for over an
+    hour while 30 cores idled).  One tiny n-row shuffle buys full
+    scan-side parallelism — on a cluster, exactly the fan-out the
+    quadratic yardstick needs to stay wall-clock-feasible."""
     emb = load(spark, sf_dir, "embeddings")
-    a = S.with_norm(emb).select(F.col("vec_id").alias("id_a"),
-                                F.col("embedding").alias("va"),
-                                F.col("norm").alias("na"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = (S.with_norm(emb).repartition(n_part)
+         .select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va"),
+                 F.col("norm").alias("na")))
     b = S.with_norm(emb).select(F.col("vec_id").alias("id_b"),
                                 F.col("embedding").alias("vb"),
                                 F.col("norm").alias("nb"))

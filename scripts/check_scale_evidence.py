@@ -79,10 +79,12 @@ def main() -> None:
             bad.append("STREAM_BENCH.json: not cited in SCALE.md")
         else:
             rocks = rec.get("scenarios_rocksdb")
+            skew = rec.get("scenarios_skew")
             print(f"STREAM_BENCH.json: {rec['rows']} rows, "
                   f"{rec['rows_per_sec_wall']} rows/s wall, "
                   f"stream==batch {rec['streamed_equals_batch']}, "
-                  f"rocksdb={'yes' if rocks else 'no'}")
+                  f"rocksdb={'yes' if rocks else 'no'}, "
+                  f"skew={'yes' if skew else 'no'}")
     # r7 artifacts under the same staleness rule: if they exist, SCALE.md
     # must cite them next to the numbers they back (content-level floors
     # are asserted by tests/test_recall_evidence.py for RECALL.json)

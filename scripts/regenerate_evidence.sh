@@ -43,12 +43,21 @@ done
 echo "== 2. frontier sweeps (16x / 64x / skewed 16x) =="
 python scripts/scale_correctness.py /tmp/sf_16x --bench --bounded --tag=16x --force
 python scripts/scale_correctness.py /tmp/sf_16x --bounded --tag=16x_full --force
-# all SIX quadratic-oracle pair-emitters since r9 (VERDICT r8 #4) —
-# the two embedding all-pairs oracles are hours of single-node DuckDB
-# compute at 16x; run this record in the background
+# five of the six quadratic-oracle pair-emitters since r9 (VERDICT r8
+# #4): the word-based four in one record, dedup_embedding_cosine (a
+# ~16-min true all-pairs DuckDB oracle at 16x) in its own.  Do NOT run
+# these two concurrently with other heavy oracles: DuckDB claims ~80%
+# of RAM per process and concurrent sweeps OOM each other (r9 lesson;
+# SPARK_GRAFT_DUCK_MEM caps a run, but recursive-CTE oracles hold
+# PINNED blocks that cannot spill).  dedup_embedding_clusters stays
+# 16x-excluded with a measured bound: its transitive-closure oracle
+# exhausted a 70GB pin budget after 51 min on the r9 fixture's giant
+# semantic component (see SCALE.md).
 python scripts/scale_correctness.py /tmp/sf_16x --all --bounded \
-  --only dedup_clusters,dedup_jaccard_prefix,dedup_ngram_jaccard,dedup_simhash_pairs,dedup_embedding_cosine,dedup_embedding_clusters \
+  --only dedup_clusters,dedup_jaccard_prefix,dedup_ngram_jaccard,dedup_simhash_pairs \
   --tag=16x_pairs --force
+python scripts/scale_correctness.py /tmp/sf_16x --all --bounded \
+  --only dedup_embedding_cosine --tag=16x_pairs_cos --force
 # 64x: bench minus the two oracle-cost exclusions (list must mirror
 # tests/test_scale_evidence.py::test_scaled_fixture_records_cover_the_bench_set)
 python - <<'EOF' > /tmp/b64.txt
@@ -69,7 +78,9 @@ echo "== 4. Spark-side throughput (IDLE BOX) =="
 python scripts/make_scale_bench.py
 
 echo "== 5. streaming soak (IDLE BOX) =="
-python scripts/stream_throughput.py /tmp/sf_64x 32 --force
+# --skew (VERDICT r8 #7): the same three stateful shapes re-run on the
+# pathological-key fixture; streamed==batch must hold there too
+python scripts/stream_throughput.py /tmp/sf_64x 32 --force --skew=/tmp/sf_skew16x
 
 echo "== 6. bucketed-join delta (IDLE BOX) =="
 python scripts/bucketed_join_bench.py /tmp/sf_64x

