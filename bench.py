@@ -24,6 +24,69 @@ MAX_SAMPLES = 7        # adaptive top-up ceiling for noisy queries
 NOISE_FRAC = 0.30      # resample while range > 30% of the median
 
 
+# ---------------------------------------------------------------------------
+# Machine-load context (VERDICT r9 #1).  r9's +16% on an identical
+# roster had to be adjudicated by judgment because the artifact carried
+# no record of what the shared box was doing.  Record it: load average
+# + /proc/stat busy fraction sampled at start/end, and a fixed-cost
+# in-process calibration query timed alongside the roster — so a
+# shared-roster delta is classifiable FROM THE ARTIFACT ALONE
+# (drift ratio ≈ calibration ratio → environmental; drift without
+# calibration movement → plan regression).
+# ---------------------------------------------------------------------------
+
+def _proc_stat() -> tuple[float, float] | None:
+    """(busy_jiffies, total_jiffies) from the aggregate cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    vals = [float(x) for x in parts[1:11]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle+iowait
+    total = sum(vals)
+    return total - idle, total
+
+
+def _load_snapshot() -> dict:
+    snap: dict = {}
+    try:
+        l1, l5, l15 = os.getloadavg()
+        snap["loadavg"] = [round(l1, 2), round(l5, 2), round(l15, 2)]
+    except OSError:
+        pass
+    st = _proc_stat()
+    if st:
+        snap["_stat"] = st
+    snap["ncpu"] = os.cpu_count()
+    return snap
+
+
+def _busy_fraction(start: dict, end: dict) -> float | None:
+    """Whole-machine CPU busy fraction over the bench's own lifetime."""
+    a, b = start.get("_stat"), end.get("_stat")
+    if not a or not b or b[1] <= a[1]:
+        return None
+    return round((b[0] - a[0]) / (b[1] - a[1]), 4)
+
+
+def _calibrate(spark) -> float:
+    """Fixed-cost CPU-bound reference job timed in the same process:
+    median of 3 runs of a pure-codegen range aggregation (no IO, no
+    data dependence, no shuffle variance).  Its runtime moves with
+    exogenous box load exactly like the roster's does, so the
+    round-over-round ratio of this number is the mechanical yardstick
+    for classifying shared-roster drift."""
+    def one() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1) AS s").write.format("noop") \
+            .mode("overwrite").save()
+        return time.perf_counter() - t0
+    one()  # warm
+    return round(statistics.median(one() for _ in range(3)), 3)
+
+
 def _prev_bench() -> dict | None:
     """Latest committed BENCH_r{N}.json, for round-over-round deltas."""
     here = os.path.dirname(os.path.abspath(__file__))
@@ -45,6 +108,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+    load_start = _load_snapshot()
 
     bench_queries = {n: s for n, s in REGISTRY.items() if s.bench}
 
@@ -74,6 +138,7 @@ def main() -> None:
     for spec in warm + warm:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
+    calib_start = _calibrate(spark)
 
     pass_a: dict[str, list[float]] = {}
     for name, spec in bench_queries.items():
@@ -143,13 +208,21 @@ def main() -> None:
         samples_c = [_run(spec) for _ in range(3)]
         spark.catalog.clearCache()
         med_c = statistics.median(samples_c)
-        timings[name] = round(min(timings[name], med_c), 3)
+        # keep timing AND spread from the same window: if pass C's
+        # median wins, its spread describes the kept value; otherwise
+        # both stay from the A+B population (ADVICE r9 — min-mixing
+        # across windows made spread describe a different window than
+        # the timing it annotated)
+        if med_c < timings[name]:
+            timings[name] = round(med_c, 3)
+            srt = sorted(samples_c)
+            spread[name] = round(srt[-1] - srt[0], 3)
         floors[name] = round(min([floors[name]] + samples_c), 3)
-        mid = sorted(samples_c)  # the pass-C window's own spread
-        spread[name] = min(spread[name], round(mid[-1] - mid[0], 3))
         n_used[name] += len(samples_c)
-        if timings[name] / floors[name] <= 1.3:
+        if floors[name] > 0 and timings[name] / floors[name] <= 1.3:
             suspect.remove(name)
+    calib_end = _calibrate(spark)
+    load_end = _load_snapshot()
 
     # The driver captures only the LAST ~2000 chars of stdout; r3's
     # single fat line (queries+n_samples+spread+min+delta for 22
@@ -172,6 +245,16 @@ def main() -> None:
         # observation: both sampling windows were noisy; treat their
         # entries (and their share of "value") as upper bounds
         "suspect": suspect,
+        # fixed-cost calibration query (same process, pure codegen, no
+        # IO): its round-over-round ratio is the exogenous-load
+        # yardstick.  min of the two brackets = the cleaner window.
+        "calib": min(calib_start, calib_end),
+        "load": {
+            "loadavg_start": load_start.get("loadavg"),
+            "loadavg_end": load_end.get("loadavg"),
+            "cpu_busy_frac": _busy_fraction(load_start, load_end),
+            "ncpu": load_start.get("ncpu"),
+        },
     }
     prev = _prev_bench()
     if prev and prev.get("sf") == out["sf"] and prev.get("queries"):
@@ -185,11 +268,32 @@ def main() -> None:
             sum(timings[n] for n in shared), 3)
         out["value_shared_prev_baseline"] = round(
             sum(prev["queries"][n] for n in shared), 3)
+        # Mechanical drift adjudication (VERDICT r9 #1): compare the
+        # shared-roster ratio against the calibration-query ratio from
+        # the same two artifacts.  If the roster drifted no more than
+        # the fixed-cost reference job did (+ a 7-point allowance for
+        # sampling noise), the drift is the box, not the plans;
+        # anything beyond that is flagged for per-query investigation
+        # via delta_vs_prev.  Absent prev calib (first round with this
+        # field), the class is "no_prev_calib".
+        if prev.get("calib"):
+            shared_ratio = (out["value_shared_prev"]
+                            / max(out["value_shared_prev_baseline"], 1e-9))
+            calib_ratio = out["calib"] / prev["calib"]
+            out["shared_ratio"] = round(shared_ratio, 3)
+            out["calib_ratio"] = round(calib_ratio, 3)
+            out["drift_class"] = (
+                "environmental" if shared_ratio <= max(calib_ratio, 1.0) + 0.07
+                else "plan_or_unexplained")
+        else:
+            out["drift_class"] = "no_prev_calib"
     detail = {
         **out,
         "n_samples": n_used,
         "spread": spread,
         "min": floors,
+        "calib_start": calib_start,
+        "calib_end": calib_end,
     }
     if prev and prev.get("sf") == out["sf"] and prev.get("queries"):
         detail["delta_vs_prev"] = {

@@ -278,7 +278,14 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                    lambda x, y: (x.cast("double") - y.cast("double"))
                    * (x.cast("double") - y.cast("double"))),
         F.lit(0.0), lambda acc, x: acc + x)
-    w = Window.partitionBy(id_col).orderBy(F.round(dist, 9).asc(),
+    # pround (floor-form), NOT F.round: the oracle CTEs rank on
+    # floor(d2*1e9+0.5)/1e9 while F.round is BigDecimal HALF_UP on the
+    # double's decimal string — the two can disagree on d2 values near
+    # a .5e-9 boundary, and once training reads assignments (r9), a
+    # single flipped row cascades into different trained centroids and
+    # a full digest mismatch (ADVICE r9, medium).  One shared formula,
+    # both engines.
+    w = Window.partitionBy(id_col).orderBy(pround(dist, 9).asc(),
                                            F.col("cluster_id").asc())
     return (df.crossJoin(F.broadcast(c))
             .withColumn("__rn", F.row_number().over(w))
@@ -359,7 +366,17 @@ def kmeans_refine_lazy(df: DataFrame, centroids: DataFrame,
     exponentially in n_iter (measured: 27 windows / 35 exchanges for
     n_iter=2 consumed twice, vs 5/8 persisted).  This is the same
     iterative-lineage discipline dedup_clusters applies with
-    localCheckpoint, at k·d-scalar cost."""
+    localCheckpoint, at k·d-scalar cost.
+
+    Cache lifetime (ADVICE r9): the step tables are never unpersisted
+    here — a lazy builder cannot know when its consumer is done, and
+    eager unpersist of step i would re-trigger the very re-derivation
+    the persist exists to prevent.  Each entry is k·d floats (~16 KB
+    at k=32, d=64), so the cost per invocation is negligible; callers
+    that build MANY trained quantizers in one long-lived session must
+    bound the accumulation with ``spark.catalog.clearCache()`` between
+    plans — exactly what bench.py and the driver's per-query harness
+    already do."""
     cur = centroids.select("cluster_id", F.col(vec_col))
     for _ in range(n_iter):
         cur = _lloyd_step(df, cur, id_col, vec_col, quantize=quantize)

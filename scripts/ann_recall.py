@@ -65,8 +65,12 @@ def _ivf_candidates_per_query(spark, sf_dir: str, ivf_k: int,
     emb = load(spark, sf_dir, "embeddings")
     cents = _seed_centroids(emb, ivf_k, seed_step)
     if train_iters:
+        # persist_steps: cents is consumed twice below (cell_pop +
+        # probed) — without it each reference re-expands the nested
+        # training lineage (the exponential-plan case the production
+        # plan persists against; ADVICE r9)
         cents = kmeans_refine_lazy(emb, cents, n_iter=train_iters,
-                                   quantize=9)
+                                   quantize=9, persist_steps=True)
     cell_pop = ivf_assign(S.with_norm(emb), cents).groupBy("cluster_id").count()
     probed = ivf_assign(
         S.with_norm(emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)),
