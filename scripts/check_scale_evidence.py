@@ -27,6 +27,47 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EVID = os.path.join(HERE, "evidence")
 
 
+def _check_multiple_table(md: str, bench: dict) -> list[str]:
+    """Cross-check the per-query multiples SCALE.md's 64×-multiple
+    table quotes against the numbers SCALE_BENCH.json actually
+    recorded (VERDICT r9 #5: two stale prose numbers survived every
+    suite because the guard never parsed the tables).  Also flags a
+    query quoted twice with different values — the exact duplicate-row
+    class r9 shipped.  Tolerance ±0.15 absorbs display rounding."""
+    import re
+
+    probs: list[str] = []
+    runs = bench.get("runs", {})
+    base = runs.get("sf0.1", {}).get("queries", {})
+    top = runs.get("64x", {}).get("queries", {})
+    if not base or not top:
+        return probs
+    m = re.search(r"\| *64×-data multiple *\| *queries *\|(.*?)\n\n",
+                  md, re.S)
+    if not m:
+        return probs
+    quoted: dict[str, list[float]] = {}
+    for name, val in re.findall(r"([a-z][a-z0-9_]+) (\d+(?:\.\d+)?)",
+                                m.group(1)):
+        if name in top:
+            quoted.setdefault(name, []).append(float(val))
+    for name, vals in quoted.items():
+        if len(set(vals)) > 1:
+            probs.append(f"SCALE.md 64x table quotes {name} with "
+                         f"conflicting multiples {sorted(set(vals))}")
+        if base.get(name):
+            actual = top[name] / base[name]
+            for v in vals:
+                if abs(v - actual) > 0.15:
+                    probs.append(
+                        f"SCALE.md 64x table quotes {name}={v} but "
+                        f"SCALE_BENCH.json says {actual:.1f} "
+                        f"({top[name]}/{base[name]})")
+    print(f"SCALE.md 64x-multiple table: {len(quoted)} quoted queries "
+          f"cross-checked against SCALE_BENCH.json")
+    return probs
+
+
 def main() -> None:
     md = open(os.path.join(HERE, "SCALE.md")).read()
     records = sorted(glob.glob(os.path.join(EVID, "SCALE_SWEEP*.json")))
@@ -70,6 +111,7 @@ def main() -> None:
             rec = json.load(open(tput))
             print(f"SCALE_BENCH.json: {len(rec['runs'])} fixture runs "
                   f"({', '.join(rec['runs'])})")
+            bad += _check_multiple_table(md, rec)
     sbench = os.path.join(EVID, "STREAM_BENCH.json")
     if os.path.exists(sbench):
         rec = json.load(open(sbench))
