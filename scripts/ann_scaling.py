@@ -1,0 +1,178 @@
+"""Measure the IVF k_cells ∝ √n scaling claim → evidence/ANN_SCALING.json
+(VERDICT r9 #2).
+
+The production ANN docstring (plans/extensions.py) claims that at
+deployment scale the plan re-tunes k_cells with √n so per-query probe
+cost stays sublinear.  This script turns that claim into a recorded
+measurement: for each (fixture, k_cells) point it finds the smallest
+nprobe on a ladder that reaches the 0.8 recall floor, then records
+recall, candidates/query, corpus fraction, and wall time of the full
+search plan (training included, same `_ivf_nprobe_plan` the registered
+queries run).
+
+Two fixture families, deliberately:
+
+- **uniform** (the driver's near-uniform vectors): the no-structure
+  adversarial case.  Near neighbors are barely closer than random, so
+  the probe fraction needed for recall ≥ 0.8 CANNOT fall with more
+  cells — the honest worst-case bound.
+- **clustered** (mixture-of-Gaussians, scripts/make_clustered_fixture):
+  the case IVF is designed for.  A query's true neighbors co-locate in
+  its own coarse cell, so the needed fraction collapses and k_cells ∝
+  √n holds candidates/query to O(√n) growth (vs O(n) at fixed k).
+
+Seed grid per point: seed_step = n // k_cells (seeds spread over the
+whole id space); training = PROD_TRAIN_ITERS quantized Lloyd's
+iterations — identical kernels to embedding_ann_production.
+
+    python scripts/make_clustered_fixture.py /tmp/sf_clustered 2000
+    python scripts/make_clustered_fixture.py /tmp/sf_clustered16x 32000
+    python scripts/make_clustered_fixture.py /tmp/sf_clustered64x 128000
+    SPARK_DRIVER_MEMORY=24g python scripts/ann_scaling.py
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RECALL_FLOOR = 0.8
+
+# (label, dir, kind, k_cells).  k_cells scales with √n: 32 at n=2000
+# → 128 at 16× → 256 at 64× (√16=4, √64=8).  The 16× fixed-k=32 point
+# is the contrast row: what happens when the corpus grows 16× and the
+# quantizer is NOT re-tuned.
+LEGS = [
+    ("uniform-sf0.1", "/root/testdata/sf0.1", "uniform", 32),
+    ("uniform-16x", "/tmp/sf_16x", "uniform", 32),
+    ("uniform-16x", "/tmp/sf_16x", "uniform", 128),
+    ("uniform-64x", "/tmp/sf_64x", "uniform", 256),
+    ("clustered-2k", "/tmp/sf_clustered", "clustered", 32),
+    ("clustered-32k", "/tmp/sf_clustered16x", "clustered", 128),
+    ("clustered-128k", "/tmp/sf_clustered64x", "clustered", 256),
+]
+
+
+def _ladder(kind: str, k_cells: int) -> list[int]:
+    if kind == "clustered":
+        probes = [1, 2, 4, 8, 16]
+    else:
+        # uniform needs a large corpus fraction (~0.44 measured at the
+        # production point) — ladder in fractions of k_cells
+        probes = [max(1, math.ceil(k_cells * f))
+                  for f in (0.25, 0.35, 0.45, 0.55, 0.7)]
+    return sorted({min(p, k_cells) for p in probes})
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from ann_recall import _ivf_candidates_per_query, _recall, _topk_sets
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+    from ecommerce_data_engineering_spark.plans.extensions import (
+        ANN_QUERY_LIMIT, PROD_TRAIN_ITERS, _ivf_nprobe_plan)
+    from ecommerce_data_engineering_spark.sources.readers import load
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    exact_cache: dict[str, dict] = {}
+    n_cache: dict[str, int] = {}
+    rows = []
+    for label, sf_dir, kind, k_cells in LEGS:
+        if not os.path.isdir(sf_dir):
+            print(f"SKIP {label}: {sf_dir} missing", flush=True)
+            continue
+        if sf_dir not in exact_cache:
+            exact_cache[sf_dir] = _topk_sets(
+                REGISTRY["embedding_cosine_topk"].fn(spark, sf_dir))
+            n_cache[sf_dir] = load(spark, sf_dir, "embeddings").count()
+            spark.catalog.clearCache()
+        exact, n = exact_cache[sf_dir], n_cache[sf_dir]
+        seed_step = max(1, n // k_cells)
+        trail, picked = {}, None
+        for nprobe in _ladder(kind, k_cells):
+            sets = _topk_sets(_ivf_nprobe_plan(
+                spark, sf_dir, k_cells, seed_step, nprobe,
+                train_iters=PROD_TRAIN_ITERS))
+            r = round(_recall(sets, exact), 4)
+            trail[str(nprobe)] = r
+            spark.catalog.clearCache()
+            print(f"{label} k={k_cells} nprobe={nprobe}: recall@5={r}",
+                  flush=True)
+            if r >= RECALL_FLOOR:
+                picked = (nprobe, r)
+                break
+        if picked is None:
+            nprobe, r = max(((int(p), v) for p, v in trail.items()),
+                            key=lambda t: t[1])
+            reached = False
+        else:
+            (nprobe, r), reached = picked, True
+        # cost side at the picked point: candidates/query + wall of the
+        # full plan (training included), median of 3 noop-timed runs
+        cand_q = _ivf_candidates_per_query(
+            spark, sf_dir, k_cells, seed_step, nprobe,
+            train_iters=PROD_TRAIN_ITERS)
+        spark.catalog.clearCache()
+
+        def timed() -> float:
+            t0 = time.perf_counter()
+            _ivf_nprobe_plan(spark, sf_dir, k_cells, seed_step, nprobe,
+                             train_iters=PROD_TRAIN_ITERS) \
+                .write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            return dt
+
+        timed()  # warm
+        wall = round(statistics.median(timed() for _ in range(3)), 3)
+        row = {
+            "label": label, "dir": sf_dir, "kind": kind, "n_corpus": n,
+            "n_queries": ANN_QUERY_LIMIT, "k_cells": k_cells,
+            "seed_step": seed_step, "train_iters": PROD_TRAIN_ITERS,
+            "nprobe": nprobe, "recall_at_5": r, "floor_reached": reached,
+            "nprobe_trail": trail,
+            "candidates_per_query": round(cand_q, 1),
+            "corpus_fraction": round(cand_q / n, 4),
+            "wall_sec": wall,
+        }
+        rows.append(row)
+        print(f"{label} k={k_cells}: nprobe={nprobe} recall={r} "
+              f"cand/q={row['candidates_per_query']} "
+              f"({row['corpus_fraction']:.1%}) wall={wall}s", flush=True)
+
+    rec = {
+        "date": datetime.date.today().isoformat(),
+        "recall_floor": RECALL_FLOOR,
+        "note": ("k_cells ∝ √n scaling measurement for the production "
+                 "IVF plan (VERDICT r9 #2): per (fixture, k_cells) "
+                 "point, smallest ladder nprobe reaching the 0.8 "
+                 "recall floor, with candidates/query, corpus "
+                 "fraction, and wall of the full trained-search plan; "
+                 "generated by scripts/ann_scaling.py"),
+        "legs": rows,
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    evid = os.path.join(here, "evidence")
+    os.makedirs(evid, exist_ok=True)
+    with open(os.path.join(evid, "ANN_SCALING.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print("wrote ANN_SCALING.json")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,20 @@ def main() -> None:
         else:
             print(f"RECALL.json: {len(rec['fixtures'])} fixtures, "
                   f"k={rec['k']}, {len(rec['ann_variants'])} ANN variants")
+    ann = os.path.join(EVID, "ANN_SCALING.json")
+    if os.path.exists(ann):
+        rec = json.load(open(ann))
+        if "ANN_SCALING.json" not in md:
+            bad.append("ANN_SCALING.json: not cited in SCALE.md")
+        else:
+            legs = rec.get("legs", [])
+            miss = [l["label"] for l in legs if not l.get("floor_reached")
+                    and l["kind"] == "clustered"]
+            if miss:
+                bad.append(f"ANN_SCALING.json: clustered legs below the "
+                           f"recall floor: {miss}")
+            print(f"ANN_SCALING.json: {len(legs)} (fixture, k_cells) "
+                  f"legs, floor {rec.get('recall_floor')}")
     bbench = os.path.join(EVID, "BUCKET_BENCH.json")
     if os.path.exists(bbench):
         rec = json.load(open(bbench))

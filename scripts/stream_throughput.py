@@ -317,6 +317,53 @@ def run_suite(spark, events, feed_stream, n_rows: int,
         and batch_pairs.exceptAll(got).count() == 0)
     scenarios["stream_stream_join"] = m
 
+    # -- scenario 4: pre-aggregated count join (skew compaction) -------
+    # The row-pair join above is output-bound under key skew (a hot key
+    # with c clicks / p purchases emits c·p rows — 17.3M on skew16x).
+    # This scenario measures the compacted twin (VERDICT r9 #7): both
+    # sides aggregate to (user, window) counts BEFORE the join, so
+    # state and output are bounded by key cardinality and the hot key
+    # costs one fat count row per side, never c·p pairs.
+    from ecommerce_data_engineering_spark.streaming.joins import (
+        stream_click_purchase_counts)
+
+    counts = stream_click_purchase_counts(spark, "", src=feed_stream())
+    streamed, m = run_scenario(spark, "click_purchase_counts" + suffix,
+                               counts, "append", n_rows, source_passes=2)
+    batch_counts = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .agg(F.count(F.when(F.col("event_type") == "click", 1))
+             .alias("n_clicks"),
+             F.count(F.when(F.col("event_type") == "purchase", 1))
+             .alias("n_purchases"))
+        .filter((F.col("n_clicks") > 0) & (F.col("n_purchases") > 0)
+                & F.col("user_id").isNotNull())
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"), "user_id",
+                "n_clicks", "n_purchases",
+                (F.col("n_clicks") * F.col("n_purchases"))
+                .alias("n_pairs")))
+    # append-mode aggregations withhold windows the final watermark
+    # (max ts − 2 h) has not passed, so equality is two-sided but
+    # boundary-robust: streamed ⊆ batch, and every batch window that
+    # STRICTLY precedes the watermark must be present (windows ending
+    # exactly AT the watermark are allowed either way)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - __import__("datetime").timedelta(hours=2)
+    got = streamed.select("window_start", "user_id", "n_clicks",
+                          "n_purchases", "n_pairs")
+    batch_all = batch_counts.drop("window_end")
+    must = batch_counts.filter(F.col("window_end") < F.lit(wm)) \
+        .drop("window_end")
+    m["output_rows"] = got.count()
+    m["hot_key_max_pairs"] = (got.agg(F.max("n_pairs")).collect()[0][0]
+                              or 0)
+    m["streamed_equals_batch"] = (
+        got.exceptAll(batch_all).count() == 0
+        and must.exceptAll(got).count() == 0)
+    scenarios["click_purchase_counts"] = m
+
     # -- scenario 3: applyInPandasWithState running totals -------------
     totals = stream_running_totals(spark, "", src=feed_stream())
     streamed, m = run_scenario(spark, "running_totals" + suffix, totals,

@@ -914,3 +914,20 @@ def test_sampling_sql_twins_escape_quotes():
     assert con.execute(f"SELECT {case} FROM t").fetchone()[0] in (
         "tr'ain", "te'st")
     assert con.execute(f"SELECT {fac} FROM t").fetchone()[0] in (2, 3)
+
+
+def test_connected_components_first_check_cadence(spark):
+    """A long chain (diameter 9) must converge to one component under
+    both the default probe schedule and a delayed first_check — the
+    cadence knob (VERDICT r9 #8) changes driver-action count, never
+    labels."""
+    from ecommerce_data_engineering_spark.operators.dedup import (
+        connected_components)
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"])
+    want = {(i, 0) for i in range(10)}
+    for fc in (1, 4):
+        got = {(r.node, r.component) for r in
+               connected_components(chain, first_check=fc).collect()}
+        assert got == want, fc

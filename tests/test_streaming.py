@@ -156,6 +156,52 @@ def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir):
 
 
 @pytest.mark.timeout(300)
+def test_stream_count_join_equals_batch_counts(spark, sf_dir):
+    """The pre-aggregated count join (skew compaction, VERDICT r9 #7)
+    must equal the batch per-(user, window) count join on every window
+    the final watermark finalized: streamed ⊆ batch, and every batch
+    window strictly before the watermark must be present (windows
+    ending exactly at the watermark may emit either way)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from ecommerce_data_engineering_spark.sources import load
+    from ecommerce_data_engineering_spark.streaming.joins import (
+        stream_click_purchase_counts)
+
+    out = stream_click_purchase_counts(spark, sf_dir)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("ss_count_join_test").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(str(r.window_start), r.user_id, r.n_clicks, r.n_purchases,
+            r.n_pairs) for r in
+           spark.sql("SELECT * FROM ss_count_join_test").collect()}
+
+    e = load(spark, sf_dir, "events")
+    batch = (e.filter(F.col("event_type").isin("click", "purchase"))
+             .groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+             .agg(F.count(F.when(F.col("event_type") == "click", 1))
+                  .alias("nc"),
+                  F.count(F.when(F.col("event_type") == "purchase", 1))
+                  .alias("np"))
+             .filter((F.col("nc") > 0) & (F.col("np") > 0)
+                     & F.col("user_id").isNotNull())
+             .select(F.col("win.start").alias("ws"),
+                     F.col("win.end").alias("we"),
+                     "user_id", "nc", "np"))
+    rows = batch.collect()
+    all_rows = {(str(r.ws), r.user_id, r.nc, r.np, r.nc * r.np)
+                for r in rows}
+    wm = (e.agg(F.max("ts")).collect()[0][0]
+          - datetime.timedelta(hours=2))
+    must = {(str(r.ws), r.user_id, r.nc, r.np, r.nc * r.np)
+            for r in rows if r.we < wm}
+    assert got <= all_rows
+    assert must <= got
+    assert len(must) > 0  # the fixture must actually finalize windows
+
+
+@pytest.mark.timeout(300)
 def test_streaming_dedup_drops_redelivered(spark, sf_dir, tmp_path):
     """Feed the same events file twice (simulated redelivery): the
     watermarked dropDuplicates stream must emit each event_id once."""
