@@ -7,23 +7,28 @@ cost stays sublinear.  This script turns that claim into a recorded
 measurement: for each (fixture, k_cells) point it finds the smallest
 nprobe on a ladder that reaches the 0.8 recall floor, then records
 recall, candidates/query, corpus fraction, and wall time of the full
-search plan (training included, same `_ivf_nprobe_plan` the registered
-queries run).
+trained-search plan (training included — the same ivf_assign /
+kmeans_refine_lazy kernels the registered production query runs, via
+ann_recall's shared `_ivf_nprobe_topk` search plan).
 
 Two fixture families, deliberately:
 
 - **uniform** (the driver's near-uniform vectors): the no-structure
   adversarial case.  Near neighbors are barely closer than random, so
-  the probe fraction needed for recall ≥ 0.8 CANNOT fall with more
-  cells — the honest worst-case bound.
+  the probe FRACTION needed for recall ≥ 0.8 cannot fall with more
+  cells — the honest worst-case bound (measured ~0.44 at every scale).
 - **clustered** (mixture-of-Gaussians, scripts/make_clustered_fixture):
   the case IVF is designed for.  A query's true neighbors co-locate in
   its own coarse cell, so the needed fraction collapses and k_cells ∝
   √n holds candidates/query to O(√n) growth (vs O(n) at fixed k).
 
-Seed grid per point: seed_step = n // k_cells (seeds spread over the
-whole id space); training = PROD_TRAIN_ITERS quantized Lloyd's
-iterations — identical kernels to embedding_ann_production.
+Seeding: every (n/k)-th vector by ROW-NUMBER rank over vec_id — NOT by
+vec_id arithmetic: the scaled fixtures shift each copy's keys by
+k·10,000,000 (make_scaled_fixture.py), so a `vec_id % step` grid
+degenerates to the first copy's two seeds there.  Rank-stride gives k
+seeds spread over the whole corpus on every fixture layout.  Training
+= PROD_TRAIN_ITERS quantized Lloyd's iterations, identical to the
+registered production plan.
 
     python scripts/make_clustered_fixture.py /tmp/sf_clustered 2000
     python scripts/make_clustered_fixture.py /tmp/sf_clustered16x 32000
@@ -68,17 +73,20 @@ def _ladder(kind: str, k_cells: int) -> list[int]:
         # uniform needs a large corpus fraction (~0.44 measured at the
         # production point) — ladder in fractions of k_cells
         probes = [max(1, math.ceil(k_cells * f))
-                  for f in (0.25, 0.35, 0.45, 0.55, 0.7)]
+                  for f in (0.35, 0.45, 0.55, 0.7)]
     return sorted({min(p, k_cells) for p in probes})
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F, SparkSession
 
-    from ann_recall import _ivf_candidates_per_query, _recall, _topk_sets
+    from ann_recall import _ivf_nprobe_topk, _recall, _topk_sets
+    from ecommerce_data_engineering_spark.operators import similarity as S
+    from ecommerce_data_engineering_spark.operators.similarity import (
+        ivf_assign, kmeans_refine_lazy)
     from ecommerce_data_engineering_spark.plans import REGISTRY
     from ecommerce_data_engineering_spark.plans.extensions import (
-        ANN_QUERY_LIMIT, PROD_TRAIN_ITERS, _ivf_nprobe_plan)
+        ANN_QUERY_LIMIT, PROD_TRAIN_ITERS)
     from ecommerce_data_engineering_spark.sources.readers import load
 
     spark = (SparkSession.builder.master("local[8]")
@@ -87,6 +95,25 @@ def main() -> None:
                      os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+
+    def rank_seeds(emb, k_cells: int, n: int):
+        """k seed centroids at rank stride n//k over vec_id order —
+        layout-independent (works on the key-shifted scaled fixtures
+        where a vec_id-modulo grid would collapse to 2 seeds)."""
+        from pyspark.sql import Window
+
+        step = max(1, n // k_cells)
+        return (emb.withColumn(
+                    "_rn", F.row_number().over(Window.orderBy("vec_id")) - 1)
+                .filter((F.col("_rn") % step == 0)
+                        & (F.col("_rn") < k_cells * step))
+                .select((F.col("_rn") / step).cast("int")
+                        .alias("cluster_id"), "embedding"))
+
+    def trained_cents(emb, k_cells: int, n: int):
+        return kmeans_refine_lazy(emb, rank_seeds(emb, k_cells, n),
+                                  n_iter=PROD_TRAIN_ITERS, quantize=9,
+                                  persist_steps=True)
 
     exact_cache: dict[str, dict] = {}
     n_cache: dict[str, int] = {}
@@ -101,12 +128,12 @@ def main() -> None:
             n_cache[sf_dir] = load(spark, sf_dir, "embeddings").count()
             spark.catalog.clearCache()
         exact, n = exact_cache[sf_dir], n_cache[sf_dir]
-        seed_step = max(1, n // k_cells)
+        emb = load(spark, sf_dir, "embeddings")
         trail, picked = {}, None
         for nprobe in _ladder(kind, k_cells):
-            sets = _topk_sets(_ivf_nprobe_plan(
-                spark, sf_dir, k_cells, seed_step, nprobe,
-                train_iters=PROD_TRAIN_ITERS))
+            sets = _topk_sets(_ivf_nprobe_topk(
+                spark, sf_dir, nprobe,
+                centroids=trained_cents(emb, k_cells, n)))
             r = round(_recall(sets, exact), 4)
             trail[str(nprobe)] = r
             spark.catalog.clearCache()
@@ -121,17 +148,23 @@ def main() -> None:
             reached = False
         else:
             (nprobe, r), reached = picked, True
-        # cost side at the picked point: candidates/query + wall of the
-        # full plan (training included), median of 3 noop-timed runs
-        cand_q = _ivf_candidates_per_query(
-            spark, sf_dir, k_cells, seed_step, nprobe,
-            train_iters=PROD_TRAIN_ITERS)
+        # cost side at the picked point: mean corpus rows living in the
+        # query set's probed cells
+        cents = trained_cents(emb, k_cells, n)
+        cell_pop = (ivf_assign(S.with_norm(emb), cents)
+                    .groupBy("cluster_id").count())
+        probed = ivf_assign(
+            S.with_norm(emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)),
+            cents, nprobe=nprobe).select("vec_id", "cluster_id")
+        total = (probed.join(cell_pop, "cluster_id")
+                 .agg(F.sum("count")).collect()[0][0])
+        cand_q = float(total) / ANN_QUERY_LIMIT
         spark.catalog.clearCache()
 
         def timed() -> float:
             t0 = time.perf_counter()
-            _ivf_nprobe_plan(spark, sf_dir, k_cells, seed_step, nprobe,
-                             train_iters=PROD_TRAIN_ITERS) \
+            _ivf_nprobe_topk(spark, sf_dir, nprobe,
+                             centroids=trained_cents(emb, k_cells, n)) \
                 .write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             spark.catalog.clearCache()
@@ -142,7 +175,7 @@ def main() -> None:
         row = {
             "label": label, "dir": sf_dir, "kind": kind, "n_corpus": n,
             "n_queries": ANN_QUERY_LIMIT, "k_cells": k_cells,
-            "seed_step": seed_step, "train_iters": PROD_TRAIN_ITERS,
+            "train_iters": PROD_TRAIN_ITERS,
             "nprobe": nprobe, "recall_at_5": r, "floor_reached": reached,
             "nprobe_trail": trail,
             "candidates_per_query": round(cand_q, 1),

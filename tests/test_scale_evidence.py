@@ -68,29 +68,35 @@ def test_scaled_fixture_records_cover_the_bench_set():
         sorted(ran64.symmetric_difference(bench)))
     assert rec64["n_ok"] == len(ran64)
 
-    # r9 (VERDICT r8 #4): the pair-emitter records jointly cover FIVE
-    # of the six quadratic-oracle queries — dedup_embedding_cosine
-    # joined via its own record (its all-pairs oracle is a ~16-minute
-    # single-node DuckDB run at 16x, generated concurrently with the
-    # word-based four).  dedup_embedding_clusters stays excluded at
-    # 16x with a MEASURED bound: its recursive-CTE transitive-closure
-    # oracle is quadratic in the largest semantic component and
-    # exhausted a 70 GB DuckDB pin budget after 51 min on the r9 16x
-    # fixture (giant cosine component; pinned recursive-CTE blocks
-    # cannot spill) — semantics stay pinned by the full 4x record and
-    # its driver row; the bound is documented in SCALE.md.
+    # Since r10 the pair-emitter records jointly cover ALL SIX
+    # quadratic-oracle queries: the word-based four in one record,
+    # dedup_embedding_cosine via its own (~16-minute all-pairs DuckDB
+    # oracle), and dedup_embedding_clusters via the LINEAR invariant
+    # oracle (scripts/verify_clusters_invariant.py, VERDICT r9 #3 —
+    # plain-Python union-find over the separately-verified cosine pair
+    # set; its recursive-CTE closure oracle exhausted a measured 70 GB
+    # DuckDB pin budget on this fixture's corpus-spanning component).
     covered: set[str] = set()
-    for tag, want in (("16x_pairs", 4), ("16x_pairs_cos", 1)):
+    for tag, want in (("16x_pairs", 4), ("16x_pairs_cos", 1),
+                      ("16x_pairs_clusters", 1)):
         rec = json.load(open(os.path.join(EVID,
                                           f"SCALE_SWEEP_{tag}.json")))
         names = set(rec["subset"].removeprefix("only:").split(","))
         assert rec["n_ok"] == len(names) == want and rec["all"] is True, tag
+        assert rec["n_failed"] == 0, tag
         assert "sf_16x" in rec["fixture"], tag
         covered |= names
     assert covered == {
         "dedup_clusters", "dedup_jaccard_prefix",
         "dedup_ngram_jaccard", "dedup_simhash_pairs",
-        "dedup_embedding_cosine"}
+        "dedup_embedding_cosine", "dedup_embedding_clusters"}
+    # the invariant record must really be the union-find mode and must
+    # have checked a non-trivial graph
+    inv = json.load(open(os.path.join(
+        EVID, "SCALE_SWEEP_16x_pairs_clusters.json")))
+    assert inv["mode"] == "invariant_union_find"
+    assert inv["n_nodes"] > 0 and inv["n_pairs"] > 0
+    assert inv["problems"] == []
 
 
 def test_skew_at_volume_record_covers_the_bench_set():
