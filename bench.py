@@ -268,6 +268,16 @@ def main() -> None:
             sum(timings[n] for n in shared), 3)
         out["value_shared_prev_baseline"] = round(
             sum(prev["queries"][n] for n in shared), 3)
+        # geometric mean of per-query ratios (VERDICT r9 #8): one noisy
+        # entry moves a sum-of-seconds delta by its full magnitude but
+        # a 22-query geomean by its 22nd root — the robust companion
+        # to the sum-based shared_ratio
+        import math
+        logs = [math.log(timings[n] / prev["queries"][n])
+                for n in shared if prev["queries"][n] > 0 and timings[n] > 0]
+        if logs:
+            out["geomean_ratio_shared"] = round(
+                math.exp(sum(logs) / len(logs)), 3)
         # Mechanical drift adjudication (VERDICT r9 #1): compare the
         # shared-roster ratio against the calibration-query ratio from
         # the same two artifacts.  If the roster drifted no more than
