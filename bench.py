@@ -35,39 +35,13 @@ NOISE_FRAC = 0.30      # resample while range > 30% of the median
 # calibration movement → plan regression).
 # ---------------------------------------------------------------------------
 
-def _proc_stat() -> tuple[float, float] | None:
-    """(busy_jiffies, total_jiffies) from the aggregate cpu line."""
-    try:
-        with open("/proc/stat") as f:
-            parts = f.readline().split()
-    except OSError:
-        return None
-    vals = [float(x) for x in parts[1:11]]
-    idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle+iowait
-    total = sum(vals)
-    return total - idle, total
-
-
-def _load_snapshot() -> dict:
-    snap: dict = {}
-    try:
-        l1, l5, l15 = os.getloadavg()
-        snap["loadavg"] = [round(l1, 2), round(l5, 2), round(l15, 2)]
-    except OSError:
-        pass
-    st = _proc_stat()
-    if st:
-        snap["_stat"] = st
-    snap["ncpu"] = os.cpu_count()
-    return snap
-
-
-def _busy_fraction(start: dict, end: dict) -> float | None:
-    """Whole-machine CPU busy fraction over the bench's own lifetime."""
-    a, b = start.get("_stat"), end.get("_stat")
-    if not a or not b or b[1] <= a[1]:
-        return None
-    return round((b[0] - a[0]) / (b[1] - a[1]), 4)
+# shared with scripts/stream_throughput.py (ADVICE r10: one
+# definition in the package instead of exec'ing this module)
+from ecommerce_data_engineering_spark.loadctx import (  # noqa: E402
+    busy_fraction as _busy_fraction,
+    load_snapshot as _load_snapshot,
+    proc_stat as _proc_stat,
+)
 
 
 def _calibrate(spark) -> float:
@@ -286,6 +260,13 @@ def main() -> None:
         # anything beyond that is flagged for per-query investigation
         # via delta_vs_prev.  Absent prev calib (first round with this
         # field), the class is "no_prev_calib".
+        # Masking direction (ADVICE r10): the classifier can only hide
+        # a regression SMALLER than calib_ratio+0.07 — if this round's
+        # calibration brackets caught a load spike the roster windows
+        # didn't, a genuine slowdown up to that bound reads as
+        # "environmental".  The class is therefore advisory in that
+        # direction; per-query delta_vs_prev (and load/cpu_busy_frac,
+        # emitted alongside) remain the ground truth for bisection.
         if prev.get("calib"):
             shared_ratio = (out["value_shared_prev"]
                             / max(out["value_shared_prev_baseline"], 1e-9))

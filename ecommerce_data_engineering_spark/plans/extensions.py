@@ -981,23 +981,32 @@ ANN_NPROBE = 2
 # Production IVF operating point (VERDICT r7 #2, retrained r8 #2):
 # chosen from the measured (cell-grid × nprobe × train-iters) sweep in
 # evidence/RECALL.json.  Since r9 the quantizer is TRAINED — two
-# quantized Lloyd's iterations over the seed grid — which buys recall
-# per probe: at sf0.1 the trained point (k=32, nprobe=14) measures
-# recall@5 = 0.856 vs the r8 seed point's 0.836 at nprobe=16, i.e.
-# HIGHER recall at a 12.5% SMALLER candidate budget (floor 0.8 pinned
-# in tests/test_recall_evidence.py).  On uniform-random vectors recall
-# is ≈ linear in candidate fraction (little cluster structure to
-# exploit), so the honest default still spends what the floor
-# requires; clustered real-world embeddings concentrate neighbors in
-# few cells and reach the same recall at far smaller nprobe/k_cells —
-# the knobs, not the plan shape, are what a deployment retunes.
+# quantized Lloyd's iterations — which buys recall per probe.  Since
+# r11 training runs on a deterministic ~25% HASH-SAMPLE of the corpus
+# (the standard IVF recipe: Lloyd's cost is O(k_cells·n_train·d) and
+# ANN_SCALING.json measured it dominating the √n-cells ladder at
+# 128k/k256; sampling the trainer touches only centroid QUALITY, and
+# the corpus/query assignment still scans everything once).  Measured
+# at the shipped point (sample 0.25, nprobe 15): recall@5 = 0.848 at
+# sf0.1 / 0.852 at 16× / 1.0 clustered vs full-train 0.856/0.86/1.0 —
+# one probe more buys back what the 4×-cheaper trainer costs (floor
+# 0.8 pinned in tests/test_recall_evidence.py).  On uniform-random
+# vectors recall is ≈ linear in candidate fraction (little cluster
+# structure to exploit), so the honest default still spends what the
+# floor requires; clustered real-world embeddings concentrate
+# neighbors in few cells and reach the same recall at far smaller
+# nprobe/k_cells — the knobs, not the plan shape, are what a
+# deployment retunes.
 PROD_IVF_K = 32        # finer cells than IVF_K=16: better recall at the
 PROD_SEED_STEP = 15    # same candidate fraction, and the fraction per
-PROD_NPROBE = 14       # probe shrinks as k_cells grows with corpus size
+PROD_NPROBE = 15       # probe shrinks as k_cells grows with corpus size
 PROD_TRAIN_ITERS = 2   # quantized Lloyd's iterations over the seeds
+PROD_TRAIN_SAMPLE_FRAC = 0.25  # Lloyd's trains on md5(vec_id) < frac
+PROD_TRAIN_SAMPLE_SEED = 0     # (operators/sampling hash gate, r11)
 
 
-def _cent_cte_sql(ivf_k: int, seed_step: int, train_iters: int = 0) -> str:
+def _cent_cte_sql(ivf_k: int, seed_step: int, train_iters: int = 0,
+                  train_sample_sql: str | None = None) -> str:
     """SQL CTE chain ending in ``cent(cluster_id, i, x)`` — the seed
     grid, optionally refined by ``train_iters`` quantized Lloyd's
     iterations (the exact loop the Spark side runs via
@@ -1006,18 +1015,29 @@ def _cent_cte_sql(ivf_k: int, seed_step: int, train_iters: int = 0) -> str:
     per-cell means rounded with the shared floor-form at 1e-9, keep
     the previous centroid for empty cells.  Because both engines round
     every mean to the same 1e-9 grid, the trained centroids are
-    bit-identical and everything downstream stays exact."""
+    bit-identical and everything downstream stays exact.
+
+    ``train_sample_sql``: predicate over ``vec_id`` restricting the
+    TRAINING corpus (sampled Lloyd's, r11) — the assignment and mean
+    CTEs read from the filtered ``vs`` instead of ``v``.  The Spark
+    twin applies the same operators/sampling hash gate to the frame it
+    hands kmeans_refine_lazy, so both engines train on the identical
+    row set and the trained centroids stay bit-identical."""
     chain = [f"""cent0 AS (
       SELECT CAST(vec_id / {seed_step} AS INT) AS cluster_id, i, x
       FROM v WHERE vec_id % {seed_step} = 0 AND vec_id < {ivf_k * seed_step}
     )"""]
+    train_src = "v"
+    if train_sample_sql and train_iters:
+        chain.append(f"vs AS (SELECT * FROM v WHERE {train_sample_sql})")
+        train_src = "vs"
     for t in range(1, train_iters + 1):
         p = t - 1
         chain.append(f"""td{t} AS (
       SELECT v.vec_id, c.cluster_id,
              floor(sum((v.x - c.x) * (v.x - c.x)) * 1000000000 + 0.5)
                / 1000000000 AS d2
-      FROM v JOIN cent{p} c ON v.i = c.i GROUP BY 1, 2
+      FROM {train_src} v JOIN cent{p} c ON v.i = c.i GROUP BY 1, 2
     ), ta{t} AS (
       SELECT vec_id, cluster_id FROM (
         SELECT *, row_number() OVER
@@ -1027,7 +1047,7 @@ def _cent_cte_sql(ivf_k: int, seed_step: int, train_iters: int = 0) -> str:
     ), tm{t} AS (
       SELECT a.cluster_id, v.i,
              floor(avg(v.x) * 1000000000 + 0.5) / 1000000000 AS x
-      FROM ta{t} a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2
+      FROM ta{t} a JOIN {train_src} v ON v.vec_id = a.vec_id GROUP BY 1, 2
     ), cent{t} AS (
       SELECT c.cluster_id, c.i, COALESCE(m.x, c.x) AS x
       FROM cent{p} c LEFT JOIN tm{t} m
@@ -1039,10 +1059,11 @@ def _cent_cte_sql(ivf_k: int, seed_step: int, train_iters: int = 0) -> str:
 
 def _ivf_nprobe_oracle(ivf_k: int = IVF_K, seed_step: int = IVF_SEED_STEP,
                        nprobe: int = ANN_NPROBE,
-                       train_iters: int = 0) -> str:
+                       train_iters: int = 0,
+                       train_sample_sql: str | None = None) -> str:
     return f"""
     WITH {_VEC_CTE},
-    {_cent_cte_sql(ivf_k, seed_step, train_iters)}, dist AS (
+    {_cent_cte_sql(ivf_k, seed_step, train_iters, train_sample_sql)}, dist AS (
       SELECT v.vec_id, c.cluster_id,
              floor(sum((v.x - c.x) * (v.x - c.x)) * 1000000000 + 0.5) / 1000000000 AS d2
       FROM v JOIN cent c ON v.i = c.i
@@ -1093,7 +1114,9 @@ def _seed_centroids(emb: DataFrame, ivf_k: int, seed_step: int) -> DataFrame:
 
 def _ivf_nprobe_plan(spark: SparkSession, sf_dir: str, ivf_k: int,
                      seed_step: int, nprobe: int,
-                     train_iters: int = 0) -> DataFrame:
+                     train_iters: int = 0,
+                     train_sample_frac: float = 1.0,
+                     train_sample_seed: int = 0) -> DataFrame:
     """Shared IVF search plan: deterministic seed centroids → corpus
     stored once per cell (nprobe=1) → queries probe their ``nprobe``
     nearest cells → cosine rank inside the candidate set.  Probe cost
@@ -1107,13 +1130,28 @@ def _ivf_nprobe_plan(spark: SparkSession, sf_dir: str, ivf_k: int,
     point searches on the TRAINED quantizer).  Quantizing each mean at
     1e-9 (operators/similarity._lloyd_step) keeps the trained
     centroids bit-identical across engines, so the DuckDB oracle
-    replays the same training loop CTE-for-CTE."""
+    replays the same training loop CTE-for-CTE.
+
+    ``train_sample_frac`` < 1 trains Lloyd's on the deterministic
+    hash-sample md5(seed‖vec_id) < frac (operators/sampling — the same
+    gate the curation family ships) instead of the full corpus: the
+    standard IVF recipe, since training cost is O(k_cells·n_train·d)
+    while the one-pass corpus/query ASSIGNMENT — which still reads
+    every row — is what correctness depends on.  The oracle applies
+    the identical predicate in its training CTEs, so the trained
+    centroids stay bit-identical."""
+    from ..operators.sampling import sample_predicate
     from ..operators.similarity import ivf_assign, kmeans_refine_lazy
 
     emb = load(spark, sf_dir, "embeddings")
     centroids = _seed_centroids(emb, ivf_k, seed_step)
     if train_iters:
-        centroids = kmeans_refine_lazy(emb, centroids, n_iter=train_iters,
+        train_df = emb
+        if train_sample_frac < 1.0:
+            train_df = emb.filter(sample_predicate(
+                F.col("vec_id"), train_sample_frac, seed=train_sample_seed))
+        centroids = kmeans_refine_lazy(train_df, centroids,
+                                       n_iter=train_iters,
                                        quantize=9, persist_steps=True)
     corpus_cells = ivf_assign(S.with_norm(emb), centroids)
     query_cells = ivf_assign(
@@ -1149,34 +1187,50 @@ def embedding_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_nprobe_plan(spark, sf_dir, IVF_K, IVF_SEED_STEP, ANN_NPROBE)
 
 
+def _prod_train_sample_sql() -> str:
+    from ..operators.sampling import sql_sample_predicate
+
+    return sql_sample_predicate("vec_id", PROD_TRAIN_SAMPLE_FRAC,
+                                PROD_TRAIN_SAMPLE_SEED)
+
+
 @query("embedding_ann_production",
        oracle=_ivf_nprobe_oracle(PROD_IVF_K, PROD_SEED_STEP, PROD_NPROBE,
-                                 PROD_TRAIN_ITERS),
+                                 PROD_TRAIN_ITERS, _prod_train_sample_sql()),
        covers=("EXT-similarity",), bench=True)
 def embedding_ann_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEPLOYABLE ANN flagship (VERDICT r7 #2): IVF at the measured
     production operating point — 32 cells TRAINED with two quantized
-    Lloyd's iterations (VERDICT r8 #2), nprobe 14 — instead of a
-    single-lever demo.  Training buys recall per probe: recall@5 =
-    0.856 at sf0.1 vs the r8 seed quantizer's 0.836 at nprobe 16, i.e.
-    higher recall at a 12.5% smaller candidates-per-query budget, with
-    a ≥ 0.8 floor pinned in tests/test_recall_evidence.py and the
-    budget recorded per fixture in evidence/RECALL.json.
+    Lloyd's iterations over a deterministic ~25% hash-sample of the
+    corpus (VERDICT r8 #2; sampled since r11 per VERDICT r10 #1),
+    nprobe 15 — instead of a single-lever demo.  Sampling attacks the
+    one measured scale frontier left: Lloyd's costs O(k_cells·n_train·d)
+    and dominated the √n-cells ladder (ANN_SCALING.json r10: 198 s at
+    128k/k256); the corpus/query assignment still scans every row
+    exactly once.  Measured recall@5 at the shipped point: 0.848 at
+    sf0.1 / 0.852 at 16× / 1.0 clustered — within 0.008 of the
+    full-corpus trainer at a 4× smaller training pass, ≥ 0.8 floor
+    pinned in tests/test_recall_evidence.py, candidate budget recorded
+    per fixture in evidence/RECALL.json.
 
-    The oracle replays the SAME training loop in SQL: per-cell means
-    are rounded with the shared floor-form at 1e-9 on both engines
+    The oracle replays the SAME sampled training loop in SQL: the
+    training CTEs filter on the identical md5 hash gate
+    (operators/sampling.sql_sample_predicate) and per-cell means are
+    rounded with the shared floor-form at 1e-9 on both engines
     (operators/similarity._lloyd_step quantize=9), so the trained
     centroids — and therefore every assignment — are bit-identical.
 
     Same subquadratic shape as every IVF variant here: candidate
     generation is a cell-key equi-join (corpus stored once per cell),
     never all-pairs; raising recall costs probes, not plan changes.
-    Training adds two O(|corpus|·k·d) broadcast-cross scans; at 100 TB
-    you train on a sample, persist the (k·d)-float centroid table, and
-    reuse it across queries — here it stays inline so the registered
-    plan is self-contained and lazy."""
+    At 100 TB the sampled trainer is exactly the deployment recipe —
+    train on O(k_cells·samples-per-cell) rows, persist the (k·d)-float
+    centroid table, reuse it across queries — here it stays inline so
+    the registered plan is self-contained and lazy."""
     return _ivf_nprobe_plan(spark, sf_dir, PROD_IVF_K, PROD_SEED_STEP,
-                            PROD_NPROBE, train_iters=PROD_TRAIN_ITERS)
+                            PROD_NPROBE, train_iters=PROD_TRAIN_ITERS,
+                            train_sample_frac=PROD_TRAIN_SAMPLE_FRAC,
+                            train_sample_seed=PROD_TRAIN_SAMPLE_SEED)
 
 
 # "Newly arrived" slice for the incremental index-maintenance query:
@@ -1188,7 +1242,8 @@ INDEX_NEW_REM = 3
 def _index_delta_oracle() -> str:
     return f"""
     WITH {_VEC_CTE},
-    {_cent_cte_sql(PROD_IVF_K, PROD_SEED_STEP, PROD_TRAIN_ITERS)}, dist AS (
+    {_cent_cte_sql(PROD_IVF_K, PROD_SEED_STEP, PROD_TRAIN_ITERS,
+                   _prod_train_sample_sql())}, dist AS (
       -- join norms: the Spark side assigns with_norm(emb), which
       -- excludes zero-norm/empty vectors — mirror that here
       SELECT v.vec_id, c.cluster_id,
@@ -1229,7 +1284,8 @@ def embedding_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic vec_id slice standing in for today's ingest) are
     assigned to the EXISTING production quantizer (the TRAINED
     PROD_IVF_K-cell centroid table of embedding_ann_production — same
-    seeds, same two quantized Lloyd's iterations) without
+    seeds, same two quantized Lloyd's iterations over the same ~25%
+    training hash-sample) without
     touching stored vectors or retraining further, and the query emits the
     per-cell maintenance report (existing count, new count, share of
     cell that is new — the drift signal that schedules a
@@ -1243,11 +1299,14 @@ def embedding_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids stay fixed, so every previously stored vector's cell is
     unchanged by construction and the search plan
     (embedding_ann_production) needs no replan."""
+    from ..operators.sampling import sample_predicate
     from ..operators.similarity import ivf_assign, kmeans_refine_lazy
 
     emb = load(spark, sf_dir, "embeddings")
+    train_df = emb.filter(sample_predicate(
+        F.col("vec_id"), PROD_TRAIN_SAMPLE_FRAC, seed=PROD_TRAIN_SAMPLE_SEED))
     cents = kmeans_refine_lazy(
-        emb, _seed_centroids(emb, PROD_IVF_K, PROD_SEED_STEP),
+        train_df, _seed_centroids(emb, PROD_IVF_K, PROD_SEED_STEP),
         n_iter=PROD_TRAIN_ITERS, quantize=9, persist_steps=True)
     assigned = ivf_assign(S.with_norm(emb), cents).select(
         "vec_id", "cluster_id")

@@ -47,15 +47,21 @@ NPROBE_SWEEP = [1, 2, 4, 8]
 
 def _ivf_candidates_per_query(spark, sf_dir: str, ivf_k: int,
                               seed_step: int, nprobe: int,
-                              train_iters: int = 0) -> float:
+                              train_iters: int = 0,
+                              train_sample_frac: float = 1.0,
+                              train_sample_seed: int = 0) -> float:
     """Mean candidates examined per query = corpus rows living in the
     query's probed cells — the cost side of the recall/cost trade the
     production flagship must report (VERDICT r7 #2).  ``train_iters``
-    mirrors the registered plan's quantized-Lloyd's refinement (r9:
-    the production point searches on the trained quantizer)."""
+    and ``train_sample_frac`` mirror the registered plan's
+    quantized-Lloyd's refinement (r9: the production point searches on
+    the trained quantizer; r11: trained on a deterministic
+    hash-sample)."""
     from pyspark.sql import functions as F
 
     from ecommerce_data_engineering_spark.operators import similarity as S
+    from ecommerce_data_engineering_spark.operators.sampling import (
+        sample_predicate)
     from ecommerce_data_engineering_spark.operators.similarity import (
         ivf_assign, kmeans_refine_lazy)
     from ecommerce_data_engineering_spark.plans.extensions import (
@@ -65,11 +71,16 @@ def _ivf_candidates_per_query(spark, sf_dir: str, ivf_k: int,
     emb = load(spark, sf_dir, "embeddings")
     cents = _seed_centroids(emb, ivf_k, seed_step)
     if train_iters:
+        train_df = emb
+        if train_sample_frac < 1.0:
+            train_df = emb.filter(sample_predicate(
+                F.col("vec_id"), train_sample_frac,
+                seed=train_sample_seed))
         # persist_steps: cents is consumed twice below (cell_pop +
         # probed) — without it each reference re-expands the nested
         # training lineage (the exponential-plan case the production
         # plan persists against; ADVICE r9)
-        cents = kmeans_refine_lazy(emb, cents, n_iter=train_iters,
+        cents = kmeans_refine_lazy(train_df, cents, n_iter=train_iters,
                                    quantize=9, persist_steps=True)
     cell_pop = ivf_assign(S.with_norm(emb), cents).groupBy("cluster_id").count()
     probed = ivf_assign(
@@ -192,15 +203,19 @@ def main() -> None:
         # and the corpus fraction that represents) so the trade is a
         # recorded fact, not a docstring claim
         from ecommerce_data_engineering_spark.plans.extensions import (
-            PROD_IVF_K, PROD_NPROBE, PROD_SEED_STEP, PROD_TRAIN_ITERS)
+            PROD_IVF_K, PROD_NPROBE, PROD_SEED_STEP, PROD_TRAIN_ITERS,
+            PROD_TRAIN_SAMPLE_FRAC, PROD_TRAIN_SAMPLE_SEED)
         from ecommerce_data_engineering_spark.sources.readers import load
         n_corpus = load(spark, sf_dir, "embeddings").count()
         cand_q = _ivf_candidates_per_query(
             spark, sf_dir, PROD_IVF_K, PROD_SEED_STEP, PROD_NPROBE,
-            train_iters=PROD_TRAIN_ITERS)
+            train_iters=PROD_TRAIN_ITERS,
+            train_sample_frac=PROD_TRAIN_SAMPLE_FRAC,
+            train_sample_seed=PROD_TRAIN_SAMPLE_SEED)
         production = {
             "ivf_k": PROD_IVF_K, "nprobe": PROD_NPROBE,
             "train_iters": PROD_TRAIN_ITERS,
+            "train_sample_frac": PROD_TRAIN_SAMPLE_FRAC,
             "recall_at_k": ann["embedding_ann_production"]["recall_at_k"],
             "candidates_per_query": round(cand_q, 1),
             "corpus_fraction": round(cand_q / n_corpus, 4),

@@ -28,7 +28,13 @@ k·10,000,000 (make_scaled_fixture.py), so a `vec_id % step` grid
 degenerates to the first copy's two seeds there.  Rank-stride gives k
 seeds spread over the whole corpus on every fixture layout.  Training
 = PROD_TRAIN_ITERS quantized Lloyd's iterations, identical to the
-registered production plan.
+registered production plan — including (r11, VERDICT r10 #1) the
+SAMPLED trainer: Lloyd's runs on a deterministic md5 hash-sample of
+min(n, TRAIN_SAMPLES_PER_CELL·k_cells) rows (the standard IVF recipe;
+the registered production query ships the same gate at a fixed
+fraction), so training cost stops growing O(k·n) once n outruns the
+per-cell sample budget.  Each leg records train_sample_frac and
+n_train so the wall numbers are attributable.
 
     python scripts/make_clustered_fixture.py /tmp/sf_clustered 2000
     python scripts/make_clustered_fixture.py /tmp/sf_clustered16x 32000
@@ -50,6 +56,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RECALL_FLOOR = 0.8
+TRAIN_SAMPLES_PER_CELL = 64   # Lloyd's sample budget: 64·k_cells rows
 
 # (label, dir, kind, k_cells).  k_cells scales with √n: 32 at n=2000
 # → 128 at 16× → 256 at 64× (√16=4, √64=8).  The 16× fixed-k=32 point
@@ -110,8 +117,17 @@ def main() -> None:
                 .select((F.col("_rn") / step).cast("int")
                         .alias("cluster_id"), "embedding"))
 
+    from ecommerce_data_engineering_spark.operators.sampling import (
+        sample_predicate)
+
+    def train_frac(k_cells: int, n: int) -> float:
+        return min(1.0, TRAIN_SAMPLES_PER_CELL * k_cells / max(n, 1))
+
     def trained_cents(emb, k_cells: int, n: int):
-        return kmeans_refine_lazy(emb, rank_seeds(emb, k_cells, n),
+        frac = train_frac(k_cells, n)
+        train_df = emb if frac >= 1.0 else emb.filter(
+            sample_predicate(F.col("vec_id"), frac, seed=0))
+        return kmeans_refine_lazy(train_df, rank_seeds(emb, k_cells, n),
                                   n_iter=PROD_TRAIN_ITERS, quantize=9,
                                   persist_steps=True)
 
@@ -172,10 +188,14 @@ def main() -> None:
 
         timed()  # warm
         wall = round(statistics.median(timed() for _ in range(3)), 3)
+        frac = train_frac(k_cells, n)
+        n_train = n if frac >= 1.0 else emb.filter(
+            sample_predicate(F.col("vec_id"), frac, seed=0)).count()
         row = {
             "label": label, "dir": sf_dir, "kind": kind, "n_corpus": n,
             "n_queries": ANN_QUERY_LIMIT, "k_cells": k_cells,
             "train_iters": PROD_TRAIN_ITERS,
+            "train_sample_frac": round(frac, 4), "n_train": n_train,
             "nprobe": nprobe, "recall_at_5": r, "floor_reached": reached,
             "nprobe_trail": trail,
             "candidates_per_query": round(cand_q, 1),
@@ -190,11 +210,14 @@ def main() -> None:
     rec = {
         "date": datetime.date.today().isoformat(),
         "recall_floor": RECALL_FLOOR,
+        "train_samples_per_cell": TRAIN_SAMPLES_PER_CELL,
         "note": ("k_cells ∝ √n scaling measurement for the production "
                  "IVF plan (VERDICT r9 #2): per (fixture, k_cells) "
                  "point, smallest ladder nprobe reaching the 0.8 "
                  "recall floor, with candidates/query, corpus "
                  "fraction, and wall of the full trained-search plan; "
+                 "Lloyd's trains on a deterministic hash-sample of "
+                 "min(n, 64*k_cells) rows (r11, VERDICT r10 #1); "
                  "generated by scripts/ann_scaling.py"),
         "legs": rows,
     }

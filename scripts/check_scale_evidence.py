@@ -45,6 +45,14 @@ def _check_multiple_table(md: str, bench: dict) -> list[str]:
     m = re.search(r"\| *64×-data multiple *\| *queries *\|(.*?)\n\n",
                   md, re.S)
     if not m:
+        # ADVICE r10: a silent no-match would disengage this guard the
+        # moment the table heading drifts — both runs exist, so the
+        # table MUST be parseable
+        probs.append(
+            "SCALE.md 64x-multiple table not found (heading drifted or "
+            "table not followed by a blank line) while SCALE_BENCH.json "
+            "has both sf0.1 and 64x runs — the stale-prose guard is "
+            "disengaged")
         return probs
     quoted: dict[str, list[float]] = {}
     for name, val in re.findall(r"([a-z][a-z0-9_]+) (\d+(?:\.\d+)?)",
@@ -152,6 +160,30 @@ def main() -> None:
                            f"recall floor: {miss}")
             print(f"ANN_SCALING.json: {len(legs)} (fixture, k_cells) "
                   f"legs, floor {rec.get('recall_floor')}")
+    # BENCH_CONSEC freshness (VERDICT r10 #7): the consecutive-pair
+    # noise-band evidence must be regenerated every round — a prior
+    # round's pair says nothing about this round's box or roster.  The
+    # newest BENCH_CONSEC_r{N} must be at least as new as the newest
+    # official BENCH_r{N} artifact.
+    import re as _re
+
+    def _rounds(pattern: str, where: str) -> list[int]:
+        return sorted(
+            int(m.group(1)) for p in glob.glob(os.path.join(where, pattern))
+            if (m := _re.search(r"_r(\d+)\.json$", p)))
+    consec = _rounds("BENCH_CONSEC_r*.json", EVID)
+    official = _rounds("BENCH_r*.json", HERE)
+    if official and not consec:
+        bad.append("no BENCH_CONSEC_r*.json under evidence/ — run "
+                   "scripts/bench_consec.py")
+    elif consec and official and consec[-1] < official[-1]:
+        bad.append(f"BENCH_CONSEC_r{consec[-1]:02d} is staler than "
+                   f"BENCH_r{official[-1]:02d} — regenerate the "
+                   f"consecutive pair for this round "
+                   f"(scripts/bench_consec.py)")
+    elif consec:
+        print(f"BENCH_CONSEC: newest r{consec[-1]:02d} "
+              f"(official bench newest r{official[-1] if official else 0:02d})")
     bbench = os.path.join(EVID, "BUCKET_BENCH.json")
     if os.path.exists(bbench):
         rec = json.load(open(bbench))

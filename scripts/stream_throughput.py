@@ -151,14 +151,9 @@ def main() -> None:
     # machine-load context (VERDICT r9 #1, extended to this artifact
     # in r10): rates on a shared box are only comparable
     # round-over-round with the load that produced them recorded
-    import importlib.util as _ilu
-    _spec = _ilu.spec_from_file_location(
-        "bench_mod", os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "bench.py"))
-    _bench = _ilu.module_from_spec(_spec)
-    _spec.loader.exec_module(_bench)
-    load_start = _bench._load_snapshot()
+    from ecommerce_data_engineering_spark.loadctx import (
+        busy_fraction, load_snapshot)
+    load_start = load_snapshot()
 
     events = load(spark, src_dir, "events")
     n_rows = events.count()
@@ -216,13 +211,13 @@ def main() -> None:
     red += [f"{n} (skew)" for n, m in skew.items()
             if not m["streamed_equals_batch"]]
 
-    load_end = _bench._load_snapshot()
+    load_end = load_snapshot()
     rec = {
         "fixture": src_dir, "rows": n_rows, "files": n_files,
         "load": {
             "loadavg_start": load_start.get("loadavg"),
             "loadavg_end": load_end.get("loadavg"),
-            "cpu_busy_frac": _bench._busy_fraction(load_start, load_end),
+            "cpu_busy_frac": busy_fraction(load_start, load_end),
             "ncpu": load_start.get("ncpu"),
         },
         "scenarios": scenarios,

@@ -511,6 +511,39 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     assert out[1] == [5.0, 1.0]          # empty cell: previous centroid
 
 
+def test_kmeans_step_cache_tracked_release(spark, sf_dir):
+    """kmeans_refine_lazy(step_cache=...) collects every persisted
+    per-iteration centroid table so a long-lived caller can release
+    them AFTER materializing the trained table (VERDICT r10 #6) —
+    targeted unpersist instead of the clearCache() sledgehammer, and
+    the trained result is unaffected by the release."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.operators.similarity import (
+        kmeans_refine_lazy, release_kmeans_steps)
+    from ecommerce_data_engineering_spark.sources import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (emb.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496))
+             .select((F.col("vec_id") / 31).cast("int").alias("cluster_id"),
+                     "embedding"))
+    steps: list = []
+    trained = kmeans_refine_lazy(emb, seeds, n_iter=2, quantize=9,
+                                 persist_steps=True, step_cache=steps)
+    assert len(steps) == 2
+    assert steps[-1] is trained
+    rows = sorted((r.cluster_id, tuple(r.embedding))
+                  for r in trained.collect())       # materialize
+    assert all(s.storageLevel.useMemory for s in steps)
+    tracked = list(steps)
+    release_kmeans_steps(steps)
+    assert steps == []
+    assert all(not s.storageLevel.useMemory for s in tracked)
+    # released ≠ broken: the trained table recomputes to the same bits
+    assert sorted((r.cluster_id, tuple(r.embedding))
+                  for r in trained.collect()) == rows
+
+
 def test_chunk_exact_dedup_invariants(spark, sf_dir):
     """C4-style span dedup: (1) kept chunks = distinct chunk values
     (every repeated chunk survives exactly once, corpus-wide); (2) a

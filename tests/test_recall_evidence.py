@@ -110,13 +110,14 @@ def test_production_ann_recall_floor(rec):
     shipped constants — retuning the query without re-measuring turns
     the build red."""
     from ecommerce_data_engineering_spark.plans.extensions import (
-        PROD_IVF_K, PROD_NPROBE, PROD_TRAIN_ITERS)
+        PROD_IVF_K, PROD_NPROBE, PROD_TRAIN_ITERS, PROD_TRAIN_SAMPLE_FRAC)
 
     for label, fx in rec["fixtures"].items():
         prod = fx["production"]
         assert prod["ivf_k"] == PROD_IVF_K, label
         assert prod["nprobe"] == PROD_NPROBE, label
         assert prod["train_iters"] == PROD_TRAIN_ITERS, label
+        assert prod["train_sample_frac"] == PROD_TRAIN_SAMPLE_FRAC, label
         assert prod["recall_at_k"] == \
             fx["ann"]["embedding_ann_production"]["recall_at_k"], label
         assert prod["recall_at_k"] >= 0.8, (
@@ -174,10 +175,10 @@ def test_ann_scaling_record_proves_sqrt_n_retuning():
 
     base = next(l for l in uniform if l["label"] == "uniform-sf0.1")
     worst_uniform = max(l["corpus_fraction"] for l in uniform)
-    best_clustered = max(l["corpus_fraction"] for l in clustered)
-    assert best_clustered * 2 < worst_uniform, (
+    worst_clustered = max(l["corpus_fraction"] for l in clustered)
+    assert worst_clustered * 2 < worst_uniform, (
         "clustered fixtures must need far less of the corpus than "
-        "uniform ones", best_clustered, worst_uniform)
+        "uniform ones", worst_clustered, worst_uniform)
     # the fraction at scale must never exceed the smallest-n leg's —
     # k_cells ∝ √n absorbs corpus growth (nprobe may wiggle between
     # adjacent scales as IVF cells coarsen over semantic clusters, so
