@@ -24,11 +24,24 @@ Checks, per VERDICT r9 #3:
       id among its members; node set equals the pair-endpoint set;
       component count and size histogram match the union-find's.
 
+``--threshold=X`` (VERDICT r10 #2): the registered pair set at 16x is
+ONE fully-connected component (every r10 check would also pass a
+degenerate label-everything-min(all-ids) bug), so a second leg runs
+the SAME connected_components operator on a pair graph built at a
+custom cosine threshold — on the clustered fixture at 0.6 that yields
+~1,600 components of ~20 nodes, where exact-label equality and the
+size histogram have real discriminating power.  The pair plan uses
+the identical kernels as the registered dedup_embedding_cosine query
+(with_norm + all-pairs + pround-ed cosine), only the threshold knob
+differs.
+
 Bounded by construction: driver memory is O(|pairs| + |nodes|)
 (hundreds of MB at worst for millions of pairs — recorded in the
 artifact), never O(component²).
 
     python scripts/verify_clusters_invariant.py /tmp/sf_16x --tag=16x
+    python scripts/verify_clusters_invariant.py /tmp/sf_clustered16x \
+        --tag=clustered16x --threshold=0.6
 """
 
 from __future__ import annotations
@@ -68,11 +81,42 @@ class _UnionFind:
         self.size[ra] += self.size.pop(rb)
 
 
+def _pairs_at_threshold(spark, sf_dir: str, threshold: float):
+    """dedup_embedding_cosine's pair plan with a parametric threshold —
+    same kernels (with_norm, all-pairs id_a<id_b join, pround(cos, 6)),
+    only the cutoff differs, so the clusters operator under test sees
+    the same edge shape the registered query feeds it."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.functions.rounding import pround
+    from ecommerce_data_engineering_spark.operators import similarity as S
+    from ecommerce_data_engineering_spark.sources.readers import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = (S.with_norm(emb).repartition(n_part)
+         .select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va"), F.col("norm").alias("na")))
+    b = S.with_norm(emb).select(F.col("vec_id").alias("id_b"),
+                                F.col("embedding").alias("vb"),
+                                F.col("norm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", pround(dot / (F.col("na") * F.col("nb")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b"))
+
+
 def main() -> None:
-    sf_dir, tag = "/tmp/sf_16x", None
+    sf_dir, tag, threshold = "/tmp/sf_16x", None, None
     for a in sys.argv[1:]:
         if a.startswith("--tag="):
             tag = a.split("=", 1)[1]
+        elif a.startswith("--threshold="):
+            threshold = float(a.split("=", 1)[1])
         elif a.startswith("-"):
             sys.exit(f"unknown flag {a!r}")
         else:
@@ -84,6 +128,8 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    from ecommerce_data_engineering_spark.operators.dedup import (
+        connected_components)
     from ecommerce_data_engineering_spark.plans import REGISTRY
 
     spark = (SparkSession.builder.master("local[8]")
@@ -97,10 +143,15 @@ def main() -> None:
     problems: list[str] = []
 
     # trusted edge list: the SAME Spark pair plan the clusters query
-    # consumes, itself 16x-verified vs the exhaustive all-pairs oracle
-    pairs = [(r["id_a"], r["id_b"]) for r in
-             REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir)
-             .select("id_a", "id_b").collect()]
+    # consumes (16x-verified vs the exhaustive all-pairs oracle), or —
+    # with --threshold — that plan at a custom cutoff that yields a
+    # MULTI-component graph (VERDICT r10 #2)
+    if threshold is None:
+        pair_df = (REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir)
+                   .select("id_a", "id_b"))
+    else:
+        pair_df = _pairs_at_threshold(spark, sf_dir, threshold)
+    pairs = [(r["id_a"], r["id_b"]) for r in pair_df.collect()]
     t_pairs = time.time() - t0
     print(f"pairs collected: {len(pairs)} ({t_pairs:.1f}s)", flush=True)
 
@@ -117,8 +168,12 @@ def main() -> None:
     expected = {n: root_min[uf.find(n)] for n in nodes}
 
     t1 = time.time()
-    got = {r["node"]: r["component"] for r in
-           REGISTRY["dedup_embedding_clusters"].fn(spark, sf_dir).collect()}
+    if threshold is None:
+        clusters_df = REGISTRY["dedup_embedding_clusters"].fn(spark, sf_dir)
+    else:
+        clusters_df = connected_components(
+            _pairs_at_threshold(spark, sf_dir, threshold))
+    got = {r["node"]: r["component"] for r in clusters_df.collect()}
     t_spark = time.time() - t1
     print(f"spark labels: {len(got)} nodes ({t_spark:.1f}s)", flush=True)
 
@@ -172,12 +227,19 @@ def main() -> None:
         "all": True,
         "subset": "only:dedup_embedding_clusters",
         "mode": "invariant_union_find",
+        **({"threshold": threshold} if threshold is not None else {}),
         "note": ("linear invariant oracle (plain-Python union-find over "
                  "the 16x-verified dedup_embedding_cosine pair set) "
                  "replacing the recursive-CTE closure that exhausts "
                  "pinned DuckDB memory at this scale — VERDICT r9 #3; "
                  "checks exact label equality, edge consistency, "
-                 "canonical-min ids, and the component size histogram"),
+                 "canonical-min ids, and the component size histogram"
+                 + ("" if threshold is None else
+                    f"; --threshold={threshold} leg (VERDICT r10 #2): "
+                    f"same connected_components operator on a "
+                    f"multi-component pair graph, where exact-label "
+                    f"equality discriminates against label-collapse "
+                    f"bugs the one-component leg cannot see")),
         "n_ok": 1 if ok else 0,
         "n_failed": 0 if ok else 1,
         "failed": [] if ok else ["dedup_embedding_clusters"],
