@@ -184,6 +184,16 @@ def main() -> None:
     elif consec:
         print(f"BENCH_CONSEC: newest r{consec[-1]:02d} "
               f"(official bench newest r{official[-1] if official else 0:02d})")
+    rocks = os.path.join(EVID, "ROCKSDB_COUNTJOIN.json")
+    if os.path.exists(rocks):
+        rec = json.load(open(rocks))
+        if "ROCKSDB_COUNTJOIN.json" not in md:
+            bad.append("ROCKSDB_COUNTJOIN.json: not cited in SCALE.md")
+        else:
+            runs = rec["runs"]
+            print(f"ROCKSDB_COUNTJOIN.json: hdfs {runs['hdfs']['wall_s']}s "
+                  f"vs rocksdb {runs['rocksdb']['wall_s']}s "
+                  f"(changelog {runs['rocksdb_changelog']['wall_s']}s)")
     bbench = os.path.join(EVID, "BUCKET_BENCH.json")
     if os.path.exists(bbench):
         rec = json.load(open(bbench))

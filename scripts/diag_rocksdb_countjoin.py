@@ -153,13 +153,22 @@ def main() -> None:
         },
         "note": ("RocksDB count-join gap diagnosis (VERDICT r10 #4): "
                  "the chain runs three stateful operators, so every "
-                 "micro-batch commits ~partitions×operators RocksDB "
-                 "stores and the default commit uploads a full "
-                 "snapshot per store — per-batch commit amplification "
-                 "the engine's own commitTimeMs attributes directly; "
-                 "changelog checkpointing moves snapshot uploads off "
-                 "the commit path and is the measured tune; generated "
-                 "by scripts/diag_rocksdb_countjoin.py"),
+                 "micro-batch commits operators x partitions (3 x 32) "
+                 "RocksDB instances — ~3k native store commits over "
+                 "the feed, each paying fixed open/flush/snapshot "
+                 "overhead a heap-map store doesn't; the engine's own "
+                 "summed commitTimeMs attributes the entire wall gap "
+                 "(the rocksdb-minus-hdfs commit delta divided by the "
+                 "32 parallel tasks matches the wall delta).  "
+                 "Changelog checkpointing recovers only a few percent "
+                 "because the checkpoint is local disk — snapshot "
+                 "UPLOAD is not the bottleneck, the per-(store,batch) "
+                 "commit cost is.  That cost amortizes in the regime "
+                 "RocksDB exists for (state too large for the heap); "
+                 "at this scenario's tiny per-store state the default "
+                 "HDFS-backed store is the right choice and the "
+                 "provider stays a one-conf swap; generated by "
+                 "scripts/diag_rocksdb_countjoin.py"),
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     evid = os.path.join(here, "evidence")
