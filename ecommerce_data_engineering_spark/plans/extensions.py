@@ -871,7 +871,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     straggler task carrying ~half of 512M pair-cosines for over an
     hour while 30 cores idled).  One tiny n-row shuffle buys full
     scan-side parallelism — on a cluster, exactly the fan-out the
-    quadratic yardstick needs to stay wall-clock-feasible."""
+    quadratic yardstick needs to stay wall-clock-feasible.  The b
+    side carries an explicit broadcast hint (r11): with two
+    same-sized inputs the BNLJ planner may otherwise pick the
+    REPARTITIONED side as the build side and stream the raw scan,
+    which silently re-collapses the pair compute onto the file's
+    row-group count (measured on a single-file 32k fixture: 4 tasks,
+    3 cores busy, >25 min before the kill) — the hint pins the
+    stream side to the repartitioned one on every fixture layout."""
     emb = load(spark, sf_dir, "embeddings")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     a = (S.with_norm(emb).repartition(n_part)
@@ -885,7 +892,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(F.col("va"), F.col("vb"),
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
+    return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
             .withColumn("cosine", pround(dot / (F.col("na") * F.col("nb")), 6))
             .filter(F.col("cosine") >= 0.4)
             .select("id_a", "id_b", "cosine"))

@@ -104,7 +104,14 @@ def _pairs_at_threshold(spark, sf_dir: str, threshold: float):
         F.zip_with(F.col("va"), F.col("vb"),
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
+    # explicit broadcast(b): with two same-sized sides the BNLJ may
+    # broadcast the REPARTITIONED side and stream the raw scan — on a
+    # single-file pyarrow fixture that collapses the O(n²·d) pair
+    # compute onto the scan's 4 row-group tasks (measured: 3 cores
+    # busy for >25 min at 32k).  Pinning b as the build side keeps the
+    # stream side at the session's shuffle parallelism, the exact
+    # fan-out the registered query's repartition exists to buy.
+    return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
             .withColumn("cosine", pround(dot / (F.col("na") * F.col("nb")), 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b"))
