@@ -203,6 +203,20 @@ def main() -> None:
             print(f"BUCKET_BENCH.json: {rec['fixture']} "
                   f"{rec['join_sec_unbucketed']}s -> "
                   f"{rec['join_sec_bucketed']}s bucketed")
+    pdec = os.path.join(EVID, "PACKING_DECOMP.json")
+    if os.path.exists(pdec):
+        rec = json.load(open(pdec))
+        if "PACKING_DECOMP.json" not in md:
+            bad.append("PACKING_DECOMP.json: not cited in SCALE.md")
+        else:
+            c = rec["conclusion"]
+            if c["num_shards_moves_wall"]:
+                bad.append("PACKING_DECOMP.json: num_shards moved the wall "
+                           ">1.5x — SCALE.md's packing-note attribution "
+                           "(regex, not window) no longer holds; re-derive")
+            print(f"PACKING_DECOMP.json: tokenize {c['tokenize_frac_of_full']}"
+                  f" / window {c['window_frac_of_full']} of full wall, "
+                  f"32-split cpu inflation {c['split32_cpu_inflation']}x")
     if bad:
         sys.exit("STALE/RED scale evidence:\n  " + "\n  ".join(bad))
     print(f"scale evidence fresh: {len(records)} records, all green, "
