@@ -133,8 +133,7 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket width 32) — the length-distribution check run before
     packing sequences for training."""
     docs = load(spark, sf_dir, "documents")
-    n_tokens = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+    n_tokens = X.bpe_token_count(F.col("text"))
     return (docs
             .withColumn("token_bucket",
                         (F.floor(n_tokens / TOKEN_BUCKET)
@@ -179,8 +178,7 @@ def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (shard, starting bin) document count, token mass, and boundary
     spills — the sequence-manifest stage before a training run."""
     docs = load(spark, sf_dir, "documents")
-    n_tokens = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+    n_tokens = X.bpe_token_count(F.col("text"))
     toks = docs.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
     packed = PK.pack_sequences(toks, "doc_id", "n_tokens", PACK_BUDGET,
                                num_shards=PACK_SHARDS, seed=PACK_SEED)
@@ -230,8 +228,7 @@ def corpus_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant) stays out of the output; determinism and BFD shape are
     pinned in tests/test_operators.py."""
     docs = load(spark, sf_dir, "documents")
-    n_tokens = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+    n_tokens = X.bpe_token_count(F.col("text"))
     toks = docs.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
     packed = PK.pack_greedy_bfd(toks, "doc_id", "n_tokens", PACK_BUDGET,
                                 num_shards=PACK_SHARDS, seed=PACK_SEED)
@@ -389,8 +386,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = kept.filter(X.gopher_gate("text"))
     train = (SP.assign_splits(gated, "doc_id", SPLITS, SPLIT_SEED)
              .filter(F.col("split") == "train"))
-    n_tokens = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+    n_tokens = X.bpe_token_count(F.col("text"))
     toks = train.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
     packed = PK.pack_sequences(toks, "doc_id", "n_tokens", PACK_BUDGET,
                                num_shards=PACK_SHARDS, seed=PACK_SEED)
@@ -518,8 +514,7 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar broadcast cross for the total — the corpus is scanned once
     and never shuffled by anything wider than the source key."""
     docs = load(spark, sf_dir, "documents")
-    n_tokens = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+    n_tokens = X.bpe_token_count(F.col("text"))
     toks = (docs.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(n_tokens.cast("long")).alias("n_tokens")))

@@ -216,7 +216,8 @@ def main() -> None:
                            "(regex, not window) no longer holds; re-derive")
             print(f"PACKING_DECOMP.json: tokenize {c['tokenize_frac_of_full']}"
                   f" / window {c['window_frac_of_full']} of full wall, "
-                  f"32-split cpu inflation {c['split32_cpu_inflation']}x")
+                  f"32-split cpu inflation {c['split32_cpu_inflation']}x, "
+                  f"tokenizer speedup {c.get('tokenizer_speedup', 'n/a')}x")
     if bad:
         sys.exit("STALE/RED scale evidence:\n  " + "\n  ".join(bad))
     print(f"scale evidence fresh: {len(records)} records, all green, "

@@ -8,10 +8,14 @@ fixture constant stays put while per-shard work grows").  Measuring it
 1. **num_shards does not move the wall**: the full registered-shape
    plan at 8 / 64 / 512 shards costs the same — if the per-shard
    window were the bottleneck, 512 shards would collapse it.
-2. **The regex tokenizer is ~70% of the cost**: a fresh-lineage scalar
-   aggregate over size(regexp_extract_all(text, BPE_ISH_PATTERN))
-   alone costs ~0.7× the full plan's wall; the window + packing
-   aggregate on pre-materialized (doc_id, n_tokens) is ~0.1×.
+2. **The tokenizer is ~70% of the cost**: a fresh-lineage scalar
+   aggregate over the token count alone costs ~0.7× the full plan's
+   wall; the window + packing aggregate on pre-materialized
+   (doc_id, n_tokens) is ~0.1×.  The record carries BOTH tokenizer
+   forms — the definitional size(regexp_extract_all(...)) and the
+   registered bpe_token_count (translate arithmetic + one greedy-run
+   regexp_count, operators/text.py) that this decomposition motivated
+   — so `conclusion.tokenizer_speedup` is the banked gain.
 3. **Scan splits are not the local lever either**: forcing the scan
    from its default ~10 splits (openCostInBytes bin-packing of the
    40 MB / 64-row-group fixture) to 32 splits leaves the wall flat
@@ -69,10 +73,18 @@ def _session(app: str, **conf) -> SparkSession:
     return b.getOrCreate()
 
 
-def _toks(spark: SparkSession, fixture: str):
+def _toks(spark: SparkSession, fixture: str, definitional: bool = False):
+    """(doc_id, n_tokens) — registered form (bpe_token_count: translate
+    arithmetic + one greedy-run regexp_count) by default; pass
+    definitional=True for the size(regexp_extract_all(...)) form the
+    oracle states, so the record carries both and their gap IS the
+    tokenizer speedup the registered plans bank."""
     docs = load(spark, fixture, "documents")
-    n_tokens = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+    if definitional:
+        n_tokens = F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(X.BPE_ISH_PATTERN), 0))
+    else:
+        n_tokens = X.bpe_token_count(F.col("text"))
     return docs.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
 
 
@@ -129,11 +141,16 @@ def main() -> None:
         out["legs"][f"full_shards{shards}"] = leg
         print(f"full plan, {shards} shards: {leg}", flush=True)
 
-    # 2a. regex floor: fresh-lineage scalar aggregate, no window at all.
+    # 2a. tokenize floor, both forms: fresh-lineage scalar aggregate,
+    #     no window at all.  definitional − fast = the banked speedup.
+    leg = _time(lambda: _toks(spark, fixture, definitional=True).groupBy()
+                .agg(F.sum("n_tokens").alias("total_tokens")))
+    out["legs"]["tokenize_definitional"] = leg
+    print(f"tokenize (definitional extract-all): {leg}", flush=True)
     leg = _time(lambda: _toks(spark, fixture).groupBy()
                 .agg(F.sum("n_tokens").alias("total_tokens")))
     out["legs"]["tokenize_only"] = leg
-    print(f"tokenize only: {leg}", flush=True)
+    print(f"tokenize (registered bpe_token_count): {leg}", flush=True)
 
     # 2b. everything-but-the-regex: window + aggregate over
     #     pre-materialized (doc_id, n_tokens).
@@ -186,6 +203,9 @@ def main() -> None:
         "split32_cpu_inflation": round(
             out["scan_stage_split32"]["scan_stage_cpu_s"]
             / max(out["scan_stage_default"]["scan_stage_cpu_s"], 1e-9), 2),
+        "tokenizer_speedup": round(
+            out["legs"]["tokenize_definitional"]["min_s"]
+            / max(out["legs"]["tokenize_only"]["min_s"], 1e-9), 2),
     }
     dest = os.path.join(HERE, "evidence", "PACKING_DECOMP.json")
     with open(dest, "w") as f:

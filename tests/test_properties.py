@@ -438,3 +438,37 @@ def test_split_and_epoch_sql_twins_cross_engine_fuzz(spark):
             f"SELECT doc_id, {SP.sql_epoch_factor('doc_id', 'source', factors, 1.0, seed)} "
             f"FROM t").fetchall())
         assert got == exp
+
+
+@given(st.lists(
+    st.text(alphabet=("abcXYZ \t\n\x0b\x0c\r  ,.!?-_0123456789"
+                      "éßÑ漢字🙂"),
+            min_size=0, max_size=300),
+    min_size=1, max_size=25))
+@settings(max_examples=10, deadline=None)
+def test_bpe_token_count_equals_extract_all_on_random_texts(spark, texts):
+    """bpe_token_count (translate/length arithmetic + one greedy-run
+    regexp_count) must be bit-equal to the definitional
+    size(regexp_extract_all(text, BPE_ISH_PATTERN, 0)) on arbitrary
+    text — including non-ASCII letters (single 'other' tokens), Java
+    \\s whitespace (separators), and NON-\\s unicode whitespace like
+    \\u00a0/\\u2028 (which the pattern counts as 'other' tokens and the
+    arithmetic must too), plus astral-plane emoji (surrogate pairs:
+    length()/translate()/regex must agree on code-point counting)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.operators.text import (
+        BPE_ISH_PATTERN, bpe_token_count)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = df.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).cast("long").alias("fast"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+         .cast("long").alias("definitional"),
+    ).collect()
+    assert rows and all(r.fast == r.definitional for r in rows), [
+        (r.doc_id, texts[r.doc_id], r.fast, r.definitional)
+        for r in rows if r.fast != r.definitional]
