@@ -16,15 +16,17 @@ fixture constant stays put while per-shard work grows").  Measuring it
    registered bpe_token_count (translate arithmetic + one greedy-run
    regexp_count, operators/text.py) that this decomposition motivated
    — so `conclusion.tokenizer_speedup` is the banked gain.
-3. **Scan splits are not the local lever either**: forcing the scan
-   from its default ~10 splits (openCostInBytes bin-packing of the
-   40 MB / 64-row-group fixture) to 32 splits leaves the wall flat
-   while the scan stage's summed executorRunTime INFLATES — the regex
-   allocates per-match substring arrays, so more concurrent tasks hit
-   the single JVM's allocation/GC throughput, not more cores.  That is
-   the same single-JVM ceiling SCALE.md's throughput section already
-   documents; on a real cluster the regex CPU is embarrassingly
-   parallel ACROSS executor JVMs and the multiple falls away.
+3. **Scan-split scaling is allocation-bound**: forcing the scan from
+   its default ~10 splits (openCostInBytes bin-packing of the 40 MB /
+   64-row-group fixture) to 32 splits showed the JVM's allocation
+   ceiling directly.  With the OLD extract-all tokenizer (one
+   substring allocation per match) the wall stayed FLAT while
+   scan-stage CPU inflated 2.9× — more threads just fought the
+   allocator/GC.  With the registered low-allocation bpe_token_count
+   the same forcing buys a real ~1.9× wall drop at only ~1.4× CPU
+   inflation: remove the allocations and the cores become usable.
+   Either way it is a single-JVM ceiling, not the plan; on a real
+   cluster the tokenize parallelizes ACROSS executor JVMs.
 
 Timing discipline: every timed plan is rebuilt from load() so Spark
 cannot serve it from an earlier job's shuffle files (a fresh-lineage
