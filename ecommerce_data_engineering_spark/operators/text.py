@@ -97,7 +97,6 @@ def quality_score(text: Column) -> Column:
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
 
 _ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
-_ASCII_DIGITS = "0123456789"
 _JAVA_WS = " \t\n\x0b\x0c\r"  # Java regex \s (default, non-UNICODE flags)
 
 
@@ -106,24 +105,34 @@ def bpe_token_count(text: Column) -> Column:
     materializing any match.
 
     The pattern's three alternatives partition every character of the
-    input: (a) ASCII letter runs count once per RUN, (b) digits and
-    (c) chars that are neither ASCII-alphanumeric nor Java ``\\s``
+    input: ASCII letter runs count once per RUN, while digits and
+    chars that are neither ASCII-alphanumeric nor Java ``\\s``
     whitespace count once per CHAR.  So the token count decomposes
     into one greedy-run ``regexp_count`` (one matcher find per letter
-    run instead of one per token) plus pure ``translate``/``length``
-    arithmetic (single non-regex scans, no per-match substring
-    allocation).  Bit-equal to the extract-all form on every string —
-    hypothesis-pinned — and measured ~1.6× cheaper on the 64× corpus,
-    where the tokenizer is ~0.7 of the packing query's whole wall
-    (evidence/PACKING_DECOMP.json).
+    run instead of one per token) plus ``translate``/``length``
+    arithmetic (non-regex scans, no per-match substring allocation).
+    Bit-equal to the extract-all form on every string —
+    hypothesis-pinned — and ~1.5× cheaper on the 64× corpus, where the
+    tokenizer is ~0.7 of the packing query's whole wall
+    (evidence/PACKING_DECOMP.json).  Costs ~0.1 s MORE than
+    extract-all at sf0.1, where fixed per-plan cost dominates and the
+    extract-all's allocations are too few to matter — a deliberate
+    scale-over-microbenchmark trade.  Counting the single-char classes
+    with a second ``regexp_count('[^a-zA-Z\\s]')`` instead is 9×
+    WORSE at 64× (~22 s vs ~2.4: one matcher find per punctuation/
+    digit char), which is why the singles come from translate
+    arithmetic.
     """
+    # digits and "other" chars both count one token per CHAR, so they
+    # merge into n_singles = chars that are neither ASCII letters nor
+    # Java \s — two translate scans, the digit translate cancels:
+    #   n_singles = L − n_ws − n_letters
+    #             = len(sans_ws) + len(sans_letters) − L
     n = F.length(text)
-    n_digits = n - F.length(F.translate(text, _ASCII_DIGITS, ""))
-    n_letters = n - F.length(F.translate(text, _ASCII_LETTERS, ""))
-    n_ws = n - F.length(F.translate(text, _JAVA_WS, ""))
-    n_other = n - n_ws - n_letters - n_digits
+    sans_letters = F.length(F.translate(text, _ASCII_LETTERS, ""))
+    sans_ws = F.length(F.translate(text, _JAVA_WS, ""))
     n_letter_runs = F.regexp_count(text, F.lit(r"[a-zA-Z]+"))
-    return n_letter_runs + n_digits + n_other
+    return n_letter_runs + sans_ws + sans_letters - n
 
 
 def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
