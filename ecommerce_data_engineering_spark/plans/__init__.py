@@ -120,7 +120,13 @@ _PRIORITY = [
     "corpus_curation_funnel",        # EXT-curation EXT-dedup EXT-text
     "corpus_chunk_dedup",            # C4-style corpus-wide span dedup
     "corpus_decontaminate",          # train/test n-gram overlap guard
-    "corpus_filter_pipeline",        # EXT-text EXT-dedup (r7 first-timer)
+    # (corpus_filter_pipeline → tier 10 in r11 after green rows since
+    #  r7: EXT-text carried by text_pii_redaction + corpus_curation_funnel,
+    #  EXT-dedup by dedup_minhash_lsh/dedup_clusters/corpus_intradoc_dedup.
+    #  Its slot goes to the r11-born leakage-safe split — the
+    #  rotation-complete invariant requires every new query to enter
+    #  the window immediately.)
+    "corpus_leakage_safe_split",     # fingerprint-grouped split (r11 first-timer)
     "corpus_deterministic_sample",   # hash-gate sampling (r8 first-timer)
     "corpus_eval_quota_sample",      # per-source eval quotas (r8 first-timer)
     "corpus_greedy_packing",         # per-shard sequence packing (r8 first-timer)
@@ -134,6 +140,7 @@ _PRIORITY = [
     # official row in r7), then the r7-and-earlier veterans: every
     # tier-10 query has ≥1 round of green driver rows and stays
     # bench-measured + locally diffed.
+    "corpus_filter_pipeline",
     "pipeline_customer_metrics",
     "order_value_percentiles",
     "dedup_embedding_cosine",

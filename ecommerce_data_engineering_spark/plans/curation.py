@@ -15,7 +15,7 @@ directly on the scan (no join against a sampled-id table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..operators import packing as PK
 from ..operators import sampling as SP
@@ -38,6 +38,7 @@ PACK_SHARDS = 8
 PACK_SEED = 17
 DECON_NGRAM = 8          # published decontamination range: 8-13 grams
 MIX_CAP = 0.15           # no source may exceed 15% of the token mixture
+FP_PREFIX = 80           # normalized-prefix chars in the content fingerprint
 
 
 @query(
@@ -80,6 +81,90 @@ def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (assigned.groupBy("split", "lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("total_chars")))
+
+
+_FP_SQL = (f"md5(substr(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), "
+           f"1, {FP_PREFIX}))")
+
+
+def content_fingerprint(col: Column) -> Column:
+    """md5 of the first ``FP_PREFIX`` chars of the trimmed,
+    whitespace-collapsed, lowercased text — the Spark twin of
+    ``_FP_SQL`` (one definition per engine, same knob)."""
+    return F.md5(F.substring(
+        F.trim(F.lower(F.regexp_replace(col, r"\s+", " "))),
+        1, FP_PREFIX))
+
+
+@query(
+    "corpus_leakage_safe_split",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {_FP_SQL} AS fp FROM documents
+    ), assigned AS (
+      SELECT fp,
+             {SP.sql_split_case('fp', SPLITS, SPLIT_SEED)} AS grp_split,
+             {SP.sql_split_case('doc_id', SPLITS, SPLIT_SEED)} AS naive_split
+      FROM fp
+    ), g AS (
+      SELECT fp, grp_split, count(*) AS c,
+             count(*) FILTER (WHERE naive_split <> grp_split) AS crossers
+      FROM assigned GROUP BY fp, grp_split
+    )
+    SELECT grp_split AS split,
+           count(*) AS n_groups,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+             AS n_dup_docs,
+           CAST(coalesce(sum(crossers) FILTER (WHERE c > 1), 0) AS BIGINT)
+             AS n_leaks_prevented
+    FROM g GROUP BY split
+    """,
+    covers=("EXT-curation", "EXT-text"),
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by a CONTENT
+    fingerprint (md5 of the first ``FP_PREFIX`` chars of the
+    whitespace-collapsed lowercased text) instead of by ``doc_id``, so
+    every copy of a duplicated or head-duplicated document lands in
+    the same split.  Naive per-doc hashing puts two copies of one text
+    on opposite sides of the train/test wall — the classic eval-
+    contamination path dedup-before-split exists to prevent (the
+    reference pipeline has no analogue; this is the split-assignment
+    twin of corpus_decontaminate).  Output rolls up per split:
+    group/doc counts, docs sharing a fingerprint (`n_dup_docs`), and
+    `n_leaks_prevented` — docs in MULTI-doc fingerprint groups whose
+    doc_id-hash split disagrees with their group's split: exactly the
+    copies naive splitting would have put on the wrong side of the
+    train/test wall (singleton disagreements are harmless assignment
+    churn and are excluded).
+
+    Scale: the fingerprint is a stateless per-row projection at scan
+    speed; the first aggregation shuffles 32-char digests + two
+    labels (never text), with map-side partial aggregation; the
+    second shuffles one row per group.  No joins, no window — the
+    same two-exchange shape at 100 TB, and the group key is
+    uniformly md5-distributed so no salt is needed."""
+    docs = load(spark, sf_dir, "documents")
+    fp = content_fingerprint(F.col("text"))
+    assigned = (docs.select("doc_id", fp.alias("fp"))
+                .withColumn("grp_split",
+                            SP.split_column(F.col("fp"), SPLITS, SPLIT_SEED))
+                .withColumn("naive_split",
+                            SP.split_column(F.col("doc_id"), SPLITS,
+                                            SPLIT_SEED)))
+    per_group = (assigned.groupBy("fp", "grp_split")
+                 .agg(F.count(F.lit(1)).alias("c"),
+                      F.count_if(F.col("naive_split") != F.col("grp_split"))
+                       .alias("crossers")))
+    return (per_group.groupBy(F.col("grp_split").alias("split"))
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum("c").alias("n_docs"),
+                 F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))),
+                            F.lit(0).cast("long")).alias("n_dup_docs"),
+                 F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("crossers"))),
+                            F.lit(0).cast("long"))
+                  .alias("n_leaks_prevented")))
 
 
 def _mix_fractions() -> dict[str, float]:

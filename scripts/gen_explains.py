@@ -14,6 +14,7 @@ KEY = ["pricing_summary", "revenue_by_nation", "top_products",
        "corpus_deterministic_sample", "corpus_sequence_packing",
        "corpus_curation_funnel", "corpus_decontaminate",
        "corpus_mix_rebalance", "corpus_chunk_dedup",
+       "corpus_leakage_safe_split",
        "snapshot_cdc_diff", "cdc_incremental_metrics",
        "dedup_jaccard_prefix", "revenue_rollup"]
 
@@ -72,6 +73,15 @@ NOTES = {
     "corpus_mix_rebalance": (
         "One groupBy(source) with map-side partials plus a 1-row scalar "
         "broadcast cross for the total — the corpus is scanned once."),
+    "corpus_leakage_safe_split": (
+        "The one-scan two-exchange shape the docstring claims: the "
+        "parquet scan reads only (doc_id, text); the content "
+        "fingerprint, both split labels and the partial aggregate all "
+        "run inside the first WholeStageCodegen, so the first Exchange "
+        "carries (fp md5, split, partial counts) — never text — and "
+        "the second carries one row per fingerprint group.  No joins, "
+        "no window; group keys are uniformly md5-distributed so no "
+        "salting is needed at any scale."),
     "corpus_chunk_dedup": (
         "Document text never shuffles: two narrow Exchanges only — "
         "groupBy(chunk md5) for global count + first sighting, and the "

@@ -964,3 +964,51 @@ def test_connected_components_first_check_cadence(spark):
         got = {(r.node, r.component) for r in
                connected_components(chain, first_check=fc).collect()}
         assert got == want, fc
+
+
+def test_leakage_safe_split_group_atomicity(spark):
+    """The defining property of corpus_leakage_safe_split: every
+    content-fingerprint group lands wholly in ONE split, and
+    n_leaks_prevented counts exactly the multi-doc-group members whose
+    naive doc_id-hash split disagrees with the group's split.  Planted
+    duplicates include case/whitespace variants that must normalize to
+    the same fingerprint."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_engineering_spark.operators import sampling as SP
+    from ecommerce_data_engineering_spark.plans.curation import (
+        SPLITS, SPLIT_SEED, content_fingerprint)
+
+    base = "alpha beta gamma delta " * 8          # > FP_PREFIX chars
+    rows = [(i, base + f"unique tail {i}") for i in range(40)]
+    rows += [(100, base.upper()), (101, "  " + base.replace(" ", "   "))]
+    rows += [(200, f"short {i} text distinct head {i}") for i in (0,)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    assigned = (docs.select("doc_id",
+                            content_fingerprint(F.col("text")).alias("fp"))
+                .withColumn("grp_split",
+                            SP.split_column(F.col("fp"), SPLITS, SPLIT_SEED))
+                .withColumn("naive_split",
+                            SP.split_column(F.col("doc_id"), SPLITS,
+                                            SPLIT_SEED))).collect()
+
+    by_fp: dict[str, list] = {}
+    for r in assigned:
+        by_fp.setdefault(r.fp, []).append(r)
+    # the 40 planted copies + 2 normalization variants share one group
+    assert max(len(v) for v in by_fp.values()) == 42
+    for grp in by_fp.values():                    # atomicity
+        assert len({r.grp_split for r in grp}) == 1
+    want_leaks = sum(1 for grp in by_fp.values() if len(grp) > 1
+                     for r in grp if r.naive_split != r.grp_split)
+
+    from ecommerce_data_engineering_spark.plans import REGISTRY
+    tmp = "/tmp/leak_split_fixture"
+    docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = {r.split: r for r in
+           REGISTRY["corpus_leakage_safe_split"].fn(spark, tmp).collect()}
+    assert sum(r.n_docs for r in out.values()) == 43
+    assert sum(r.n_dup_docs for r in out.values()) == 42
+    assert sum(r.n_leaks_prevented for r in out.values()) == want_leaks
+    assert all(r.n_leaks_prevented <= r.n_dup_docs for r in out.values())

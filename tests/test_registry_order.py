@@ -181,3 +181,39 @@ def test_bench_final_json_line_fits_driver_tail():
     assert len(line) <= 1800, (
         f"final bench line would be {len(line)} chars; trim the bench "
         f"set or shorten names before the driver truncates it again")
+
+
+ROTATION_COHORT_R11 = {"corpus_leakage_safe_split"}
+
+
+def test_rotation_cohort_r11_in_window_and_truly_first_time():
+    """The r11-born leakage-safe split must sit inside the driver
+    window (rotation-complete invariant: every new query takes its
+    first official row immediately) and must have no row in any
+    committed pre-r11 CORRECTNESS artifact.  Its slot's evictee,
+    corpus_filter_pipeline, must retain coverage: both its EXT ids
+    carried by window stayers."""
+    import glob
+    import json
+    import os
+
+    window = list(REGISTRY.items())[:DRIVER_WINDOW]
+    window_names = {n for n, _ in window}
+    assert ROTATION_COHORT_R11 <= window_names
+    assert "corpus_filter_pipeline" not in window_names
+
+    covered = {c for _, s in window for c in s.covers}
+    for cid in REGISTRY["corpus_filter_pipeline"].covers:
+        assert cid in covered, f"evicted id {cid} lost from window"
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        if rnd >= 11:
+            continue
+        with open(path) as f:
+            seen |= set(json.load(f))
+    assert seen, "past CORRECTNESS artifacts missing — wrong cwd?"
+    stale = ROTATION_COHORT_R11 & seen
+    assert not stale, f"r11 cohort already driver-verified: {stale}"
