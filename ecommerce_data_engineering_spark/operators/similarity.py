@@ -26,8 +26,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _dot(a: str, b: str):
+    # Cast each ARRAY to double once per row (a codegen'd Cast, exact
+    # for float32 inputs) instead of casting inside the lambda: HOF
+    # lambdas are interpreted per ELEMENT, so the two per-element Cast
+    # nodes were ~40% of the dominant candidate-scoring cost (measured
+    # r11, 64x: 3M pairs x 64 dims).  Summation stays left-to-right —
+    # bit-identical values.
     return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(F.col(a).cast("array<double>"),
+                   F.col(b).cast("array<double>"),
+                   lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -47,10 +55,14 @@ def with_norm(df: DataFrame, vec_col: str = "embedding",
     cross-engine exact.  Fixture corpora contain none, so results are
     unchanged there; the semantics are pinned by
     test_zero_norm_vectors_excluded_from_similarity."""
+    # One interpreted pass (acc + x*x over the row-level double cast)
+    # instead of transform-then-aggregate: same elements, same
+    # left-to-right order, no intermediate squared array — bit-identical
+    # and ~2x fewer interpreted node evals (r11, guide §1.2 step 2).
     sq = F.aggregate(
-        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.col(vec_col).cast("array<double>"),
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda acc, x: acc + x * x,
     )
     return df.withColumn(out_col, F.sqrt(sq)).filter(F.col(out_col) > 0)
 
@@ -116,8 +128,13 @@ def _plane_sign_bit_sql(vec_col: str, ws: list[float], dim: int) -> str:
     pround comparison uses :func:`pround_sql`, the exact text the
     oracles run), so the physical plan and results are unchanged."""
     lits = ",".join(repr(w) + "D" for w in ws)
-    dot = (f"aggregate(zip_with(slice(`{vec_col}`, 1, {dim}),"
-           f" array({lits}), (x, w) -> CAST(x AS DOUBLE) * w),"
+    # array-level CAST outside the lambda (r11): HOF lambdas are
+    # interpreted per element, so the old per-element CAST(x AS
+    # DOUBLE) paid one extra node eval per (row, plane, dim); the
+    # float->double widening is exact either way — identical bits
+    dot = (f"aggregate(zip_with("
+           f"CAST(slice(`{vec_col}`, 1, {dim}) AS ARRAY<DOUBLE>),"
+           f" array({lits}), (x, w) -> x * w),"
            f" 0.0D, (acc, x) -> acc + x)")
     return f"CASE WHEN {pround_sql(dot, 9)} > 0 THEN '1' ELSE '0' END"
 
@@ -263,34 +280,61 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     """IVF coarse quantization: assign every vector to its ``nprobe``
     nearest centroids (one output row per probed cell).
 
-    ``centroids`` is a tiny (cluster_id, centroid vector) table —
-    broadcast, crossed, ranked by L2 distance with cluster_id tiebreak.
-    One pass over the corpus, cost |corpus|·K·d.  Corpus vectors are
-    stored with nprobe=1 (each lives in ONE cell); queries probe
-    nprobe>1 cells at search time — the standard IVF recall knob, paid
-    per query, never as corpus duplication.
-    """
-    from pyspark.sql import Window
+    ``centroids`` is a tiny (cluster_id, centroid vector) table.  It is
+    folded into ONE array row (``coalesce(1)`` first, so the k-row
+    aggregate needs no SinglePartition exchange), broadcast, and each
+    vector ranks the k cells with a pure per-row expression:
+    ``array_sort`` over (pround(d2, 9), cluster_id) structs, then
+    ``slice``+``explode`` of the first ``nprobe``.  One pass over the
+    corpus, cost |corpus|·K·d — and, since r11, ZERO shuffle: the
+    r1–r10 form ranked with ``row_number`` over a per-vector window,
+    whose Exchange moved |corpus|·K rows each carrying TWO d-float
+    vectors (measured 64x: 4M rows / ~4.2 GB, 40 s of map-side
+    serialize CPU — the single largest stage of the ANN plan; guide
+    §2.4 "remove shuffles outright").  ``array_sort`` on the struct
+    compares (d, cluster_id) ascending — exactly the old window's
+    ORDER BY, so the selected cells are identical row for row; explode
+    of the sliced array yields one row per probed cell and drops rows
+    only when the centroid table is empty, matching the old crossJoin.
 
-    c = centroids.select(F.col("cluster_id"), F.col(vec_col).alias("c_vec"))
-    dist = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("c_vec"),
-                   lambda x, y: (x.cast("double") - y.cast("double"))
-                   * (x.cast("double") - y.cast("double"))),
-        F.lit(0.0), lambda acc, x: acc + x)
-    # pround (floor-form), NOT F.round: the oracle CTEs rank on
-    # floor(d2*1e9+0.5)/1e9 while F.round is BigDecimal HALF_UP on the
-    # double's decimal string — the two can disagree on d2 values near
-    # a .5e-9 boundary, and once training reads assignments (r9), a
-    # single flipped row cascades into different trained centroids and
-    # a full digest mismatch (ADVICE r9, medium).  One shared formula,
-    # both engines.
-    w = Window.partitionBy(id_col).orderBy(pround(dist, 9).asc(),
-                                           F.col("cluster_id").asc())
-    return (df.crossJoin(F.broadcast(c))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= nprobe)
-            .drop("c_vec", "__rn"))
+    Corpus vectors are stored with nprobe=1 (each lives in ONE cell);
+    queries probe nprobe>1 cells at search time — the standard IVF
+    recall knob, paid per query, never as corpus duplication.
+
+    pround (floor-form), NOT F.round: the oracle CTEs rank on
+    floor(d2*1e9+0.5)/1e9 while F.round is BigDecimal HALF_UP on the
+    double's decimal string — the two can disagree on d2 values near
+    a .5e-9 boundary, and once training reads assignments (r9), a
+    single flipped row cascades into different trained centroids and
+    a full digest mismatch (ADVICE r9, medium).  One shared formula,
+    both engines.
+    """
+    c_arr = (centroids.coalesce(1)
+             .agg(F.collect_list(F.struct(
+                 F.col("cluster_id"),
+                 F.col(vec_col).cast("array<double>").alias("c_vec")))
+                 .alias("__cents")))
+    # d2 in two cheap interpreted passes: zip_with computes the diffs,
+    # aggregate squares-and-sums them.  Same left-to-right summation,
+    # same element values as the old ((x-y)*(x-y)) lambda — which
+    # re-evaluated the subtraction AND two casts per element because
+    # interpreted HOF eval does no CSE (~8 node evals/element -> 3).
+    vd = F.col(vec_col).cast("array<double>")
+
+    def d2(cv):
+        diff = F.zip_with(vd, cv, lambda a, b: a - b)
+        return F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d)
+
+    ranked = F.array_sort(F.transform(
+        F.col("__cents"),
+        lambda cell: F.struct(pround(d2(cell["c_vec"]), 9).alias("d"),
+                              cell["cluster_id"].alias("cluster_id"))))
+    out_cols = [F.col(n) for n in df.columns]
+    return (df.crossJoin(F.broadcast(c_arr))
+            .select(*out_cols,
+                    F.explode(F.slice(ranked, 1, nprobe)).alias("__probe"))
+            .withColumn("cluster_id", F.col("__probe.cluster_id"))
+            .drop("__probe"))
 
 
 def _lloyd_step(df: DataFrame, centroids: DataFrame, id_col: str,
@@ -445,11 +489,13 @@ def kmeans_wcss_df(df: DataFrame, centroids: DataFrame,
     monotonicity comparisons well-typed (ADVICE r5)."""
     assigned = ivf_assign(df.select(id_col, vec_col), centroids,
                           id_col=id_col, vec_col=vec_col, nprobe=1)
+    # same fast d2 form as ivf_assign (r11): row-level double casts,
+    # diff pass + square-sum pass — bit-identical, fewer node evals
     d2 = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("c_vec_kept"),
-                   lambda x, y: (x.cast("double") - y.cast("double"))
-                   * (x.cast("double") - y.cast("double"))),
-        F.lit(0.0), lambda acc, x: acc + x)
+        F.zip_with(F.col(vec_col).cast("array<double>"),
+                   F.col("c_vec_kept").cast("array<double>"),
+                   lambda x, y: x - y),
+        F.lit(0.0), lambda acc, d: acc + d * d)
     cent = centroids.select(F.col("cluster_id"),
                             F.col(vec_col).alias("c_vec_kept"))
     return (assigned.join(cent, "cluster_id")

@@ -888,10 +888,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = S.with_norm(emb).select(F.col("vec_id").alias("id_b"),
                                 F.col("embedding").alias("vb"),
                                 F.col("norm").alias("nb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # row-level double casts + multiply-only lambda (r11): HOF lambdas
+    # are interpreted per element, so the per-element casts were ~40%
+    # of this quadratic kernel's cost; values are bit-identical
+    dot = S._dot("va", "vb")
     return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
             .withColumn("cosine", pround(dot / (F.col("na") * F.col("nb")), 6))
             .filter(F.col("cosine") >= 0.4)
@@ -969,10 +969,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = assigned.select(F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("c_vec"),
                         F.col("norm").alias("c_norm"), "cluster_id")
-    dot = F.aggregate(
-        F.zip_with(F.col("q_vec"), F.col("c_vec"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
+    dot = S._dot("q_vec", "c_vec")  # fast interpreted form (r11)
     sims = (q.join(c, "cluster_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("cosine", pround(dot / (F.col("q_norm") * F.col("c_norm")), 6))
@@ -1170,10 +1167,7 @@ def _ivf_nprobe_plan(spark: SparkSession, sf_dir: str, ivf_k: int,
     c = corpus_cells.select(F.col("vec_id").alias("neighbor_id"),
                             F.col("embedding").alias("c_vec"),
                             F.col("norm").alias("c_norm"), "cluster_id")
-    dot = F.aggregate(
-        F.zip_with(F.col("q_vec"), F.col("c_vec"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
+    dot = S._dot("q_vec", "c_vec")  # fast interpreted form (r11)
     sims = (q.join(c, "cluster_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("cosine", pround(dot / (F.col("q_norm") * F.col("c_norm")), 6))

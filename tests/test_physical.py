@@ -397,14 +397,18 @@ SHUFFLE_BUDGET = {
     # embedding_cosine_topk left the bench set in r7 (VERDICT r6 #2:
     # deliberately-quadratic exact yardstick dominated the scaled
     # bench); its (1, 1) structural pin moves to EXTRA_BUDGET below.
-    # IVF-family shape plus the r9 trained quantizer: two quantized
-    # Lloyd's iterations (per iteration: one assignment window over
-    # the corpus and two mean-side aggregations — the persisted
-    # (k·d)-float step tables are counted once, the cost their one
-    # materialization pays), then the two assignment windows (corpus +
-    # queries), the cluster_id candidate join, and the final per-query
-    # rank window; centroid/seed tables broadcast along the way
-    "embedding_ann_production": (13, 4),
+    # IVF-family shape, r11 zero-shuffle assignment: the four
+    # assignment windows of the r9–r10 plan (one per Lloyd's
+    # iteration, plus corpus + queries) each cost an Exchange of
+    # |input|·k rows carrying two d-float vectors; since r11 each
+    # assignment folds the k centroids into ONE broadcast array row
+    # and ranks cells with a per-row array_sort — no Exchange at all
+    # (operators/similarity.ivf_assign).  What remains: two mean-side
+    # aggregations per Lloyd's iteration (2·2) plus the final
+    # per-query rank window = 5 shuffles; broadcasts rise 4 -> 7
+    # because every assignment broadcasts its own (k·d)-scalar
+    # centroid-array row
+    "embedding_ann_production": (5, 7),
     "events_hourly_rollup": (2, 0),
     "events_sessionization": (1, 0),
     "fact_lineitem_build": (0, 4),
