@@ -64,10 +64,16 @@ def minhash_cols(token_col: str, num_hashes: int) -> list[Column]:
     the exploded shingle frame, the hot path of MinHash at corpus
     scale (measured: signatures stage 1.7 s → ~0.4 s at sf0.1).
     a_i·x < 2^59 so the arithmetic never overflows int64 in either
-    engine."""
-    h = minhash_base(token_col)
+    engine.
+
+    Each column is ONE ``F.expr`` parse: the Column-API form cost
+    ~10 py4j round-trips per hash at plan construction (×k hashes,
+    r11); the parsed tree is canonically identical —
+    sameSemantics-pinned in tests/test_expr_parity.py."""
+    base = (f"CAST(conv(substring(md5(`{token_col}`), 1, 7), 16, 10) "
+            f"AS BIGINT)")
     return [
-        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+        F.expr(f"min(({base} * {a} + {b}) % {MINHASH_P})").alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
 

@@ -58,8 +58,11 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str,
     chosen because it is expressible verbatim in every SQL engine
     (regexp_split_to_array in DuckDB), keeping the oracle exact.
     """
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    # one F.expr parse, not a Column-API lambda: HOF lambdas cost
+    # dozens of py4j round-trips at plan construction (r11; tree is
+    # sameSemantics-identical, pinned in tests/test_expr_parity.py)
+    words = F.expr(
+        f"filter(split(lower(`{text_col}`), '[^a-z0-9]+'), x -> x != '')"
     )
     shingle = F.expr(
         f"transform(sequence(0, size(w) - {n}), "
@@ -91,14 +94,13 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
     otherwise create a quadratic hot spot — the classic LSH skew
     guard)."""
     rows = num_hashes // bands
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(
-                "|", *[f"mh_{b * rows + r}" for r in range(rows)])).alias("bucket"),
-        )
-        for b in range(bands)
-    ])
+    # whole band array in ONE F.expr parse (construction cost, r11;
+    # sameSemantics-pinned in tests/test_expr_parity.py)
+    band_structs = F.expr("array(" + ",".join(
+        f"struct({b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")) AS bucket)"
+        for b in range(bands)) + ")")
     banded = (signatures
               .select(F.col(id_col), F.explode(band_structs).alias("bb"))
               .select(id_col, F.col("bb.band").alias("band"),

@@ -25,20 +25,34 @@ from ..functions.rounding import pround, pround_sql
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the double-cast left-to-right dot product (see
+    :func:`_dot`) — callers fold it into larger single-parse exprs."""
+    return (f"aggregate(zip_with(CAST(`{a}` AS ARRAY<DOUBLE>), "
+            f"CAST(`{b}` AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)")
+
+
+def _cosine_sql(a: str, b: str, na: str, nb: str) -> str:
+    """pround(dot/(na·nb), 6) as ONE SQL text — the ranking cosine every
+    top-k variant computes, spelled once so the four call sites cannot
+    drift and plan construction pays one parse instead of ~30 py4j
+    round-trips (r11; equivalence pinned in tests/test_expr_parity.py)."""
+    return (f"floor((({_dot_sql(a, b)}) / (`{na}` * `{nb}`)) "
+            f"* 1000000 + 0.5D) / 1000000")
+
+
 def _dot(a: str, b: str):
     # Cast each ARRAY to double once per row (a codegen'd Cast, exact
     # for float32 inputs) instead of casting inside the lambda: HOF
     # lambdas are interpreted per ELEMENT, so the two per-element Cast
     # nodes were ~40% of the dominant candidate-scoring cost (measured
     # r11, 64x: 3M pairs x 64 dims).  Summation stays left-to-right —
-    # bit-identical values.
-    return F.aggregate(
-        F.zip_with(F.col(a).cast("array<double>"),
-                   F.col(b).cast("array<double>"),
-                   lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # bit-identical values.  ONE F.expr parse, not Column-API lambdas:
+    # each Python-lambda HOF costs dozens of py4j round-trips at plan
+    # CONSTRUCTION (the _plane_sign_bit_sql lesson); the parsed tree is
+    # canonically identical (sameSemantics-pinned in tests).
+    return F.expr(_dot_sql(a, b))
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding",
@@ -59,11 +73,11 @@ def with_norm(df: DataFrame, vec_col: str = "embedding",
     # instead of transform-then-aggregate: same elements, same
     # left-to-right order, no intermediate squared array — bit-identical
     # and ~2x fewer interpreted node evals (r11, guide §1.2 step 2).
-    sq = F.aggregate(
-        F.col(vec_col).cast("array<double>"),
-        F.lit(0.0),
-        lambda acc, x: acc + x * x,
-    )
+    # One F.expr parse (not Column-API lambdas) for the same
+    # construction-cost reason as _dot; tree sameSemantics-identical.
+    sq = F.expr(
+        f"aggregate(CAST(`{vec_col}` AS ARRAY<DOUBLE>), "
+        f"0.0D, (acc, x) -> acc + x * x)")
     return df.withColumn(out_col, F.sqrt(sq)).filter(F.col(out_col) > 0)
 
 
@@ -85,11 +99,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
         F.col("norm").alias("c_norm"),
     )
     pairs = q.join(c, F.col("query_id") != F.col("neighbor_id"))
-    sim = (pairs
-           .withColumn("cosine",
-                       pround(_dot("q_vec", "c_vec") /
-                               (F.col("q_norm") * F.col("c_norm")), 6))
-           .select("query_id", "neighbor_id", "cosine"))
+    # one Project (cosine computed in the select) instead of
+    # withColumn-then-select: every DataFrame op re-analyzes the whole
+    # tree eagerly, so fewer ops = cheaper construction (r11); the
+    # optimizer collapsed the two Projects anyway — optimized plan
+    # pinned identical in tests/test_expr_parity.py
+    sim = pairs.select(
+        "query_id", "neighbor_id",
+        F.expr(_cosine_sql("q_vec", "c_vec", "q_norm", "c_norm"))
+        .alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (sim.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= k))
@@ -205,11 +223,10 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
              F.col("norm").alias("c_norm"), "bucket")
     pairs = qb.join(cb, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = (pairs
-           .withColumn("cosine",
-                       pround(_dot("q_vec", "c_vec") /
-                               (F.col("q_norm") * F.col("c_norm")), 6))
-           .select("query_id", "neighbor_id", "cosine"))
+    sim = pairs.select(
+        "query_id", "neighbor_id",
+        F.expr(_cosine_sql("q_vec", "c_vec", "q_norm", "c_norm"))
+        .alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (sim.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= k))
@@ -266,10 +283,10 @@ def lsh_cosine_topk_multitable(corpus: DataFrame, queries: DataFrame,
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"), F.col("norm").alias("c_norm"))
     sim = (cand.join(vecs, "neighbor_id")
-           .withColumn("cosine",
-                       pround(_dot("query_vec", "c_vec") /
-                              (F.col("query_norm") * F.col("c_norm")), 6))
-           .select("query_id", "neighbor_id", "cosine"))
+           .select("query_id", "neighbor_id",
+                   F.expr(_cosine_sql("query_vec", "c_vec",
+                                      "query_norm", "c_norm"))
+                   .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (sim.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= k))
@@ -310,31 +327,36 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     both engines.
     """
     c_arr = (centroids.coalesce(1)
-             .agg(F.collect_list(F.struct(
-                 F.col("cluster_id"),
-                 F.col(vec_col).cast("array<double>").alias("c_vec")))
-                 .alias("__cents")))
+             .agg(F.expr(f"collect_list(struct(cluster_id, "
+                         f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS c_vec))")
+                  .alias("__cents")))
     # d2 in two cheap interpreted passes: zip_with computes the diffs,
     # aggregate squares-and-sums them.  Same left-to-right summation,
     # same element values as the old ((x-y)*(x-y)) lambda — which
     # re-evaluated the subtraction AND two casts per element because
     # interpreted HOF eval does no CSE (~8 node evals/element -> 3).
-    vd = F.col(vec_col).cast("array<double>")
-
-    def d2(cv):
-        diff = F.zip_with(vd, cv, lambda a, b: a - b)
-        return F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d)
-
-    ranked = F.array_sort(F.transform(
-        F.col("__cents"),
-        lambda cell: F.struct(pround(d2(cell["c_vec"]), 9).alias("d"),
-                              cell["cluster_id"].alias("cluster_id"))))
+    # The whole ranked expression is ONE F.expr parse: the Column-API
+    # form (nested transform/zip_with/aggregate Python lambdas) cost
+    # ~200 py4j round-trips per ivf_assign — ×4 per ANN plan (corpus,
+    # query, one per Lloyd step), making plan CONSTRUCTION ~1/3 of the
+    # sf0.1 wall.  The parsed tree is canonically identical
+    # (sameSemantics-pinned in tests); the d struct field is pround
+    # (floor-form) at 1e-9, spelled inline.
+    d2 = (f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), "
+          f"cell.c_vec, (a, b) -> a - b), 0.0D, (acc, d) -> acc + d * d)")
+    ranked = F.expr(
+        f"array_sort(transform(__cents, cell -> "
+        f"struct(floor(({d2}) * 1000000000 + 0.5D) / 1000000000 AS d, "
+        f"cell.cluster_id AS cluster_id)))")
     out_cols = [F.col(n) for n in df.columns]
-    return (df.crossJoin(F.broadcast(c_arr))
-            .select(*out_cols,
-                    F.explode(F.slice(ranked, 1, nprobe)).alias("__probe"))
-            .withColumn("cluster_id", F.col("__probe.cluster_id"))
-            .drop("__probe"))
+    # two Projects, not three (withColumn+drop folded into one select):
+    # each op re-analyzes the whole tree eagerly — optimized plan pinned
+    # identical in tests/test_expr_parity.py
+    probed = (df.crossJoin(F.broadcast(c_arr))
+              .select(*out_cols,
+                      F.explode(F.slice(ranked, 1, nprobe)).alias("__probe")))
+    return probed.select(*[F.col(n) for n in df.columns],
+                         F.col("__probe.cluster_id").alias("cluster_id"))
 
 
 def _lloyd_step(df: DataFrame, centroids: DataFrame, id_col: str,
@@ -356,16 +378,18 @@ def _lloyd_step(df: DataFrame, centroids: DataFrame, id_col: str,
     layout — to identical centroid bits, which is what lets a DuckDB
     oracle replay the trained quantizer exactly
     (embedding_ann_production since r9)."""
-    from ..functions.rounding import pround
-
     assigned = ivf_assign(df.select(id_col, vec_col), centroids,
                           id_col=id_col, vec_col=vec_col, nprobe=1)
-    mean = F.avg(F.col("col").cast("double"))
+    # the (quantized) mean is ONE F.expr parse (construction cost, r11;
+    # sameSemantics-pinned in tests/test_expr_parity.py)
+    mean_sql = "avg(CAST(col AS DOUBLE))"
+    if quantize is not None:
+        scale = 10 ** quantize
+        mean_sql = f"floor({mean_sql} * {scale} + 0.5D) / {scale}"
     means = (assigned
              .select("cluster_id", F.posexplode(vec_col))
              .groupBy("cluster_id", "pos")
-             .agg((pround(mean, quantize) if quantize is not None
-                   else mean).alias("v"))
+             .agg(F.expr(mean_sql).alias("v"))
              .groupBy("cluster_id")
              .agg(F.expr("transform(array_sort(collect_list("
                          "struct(pos, v))), s -> s.v)").alias("__new")))

@@ -969,11 +969,14 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = assigned.select(F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("c_vec"),
                         F.col("norm").alias("c_norm"), "cluster_id")
-    dot = S._dot("q_vec", "c_vec")  # fast interpreted form (r11)
+    # cosine in ONE Project + one F.expr parse (construction cost, r11;
+    # optimized plan pinned identical in tests/test_expr_parity.py)
     sims = (q.join(c, "cluster_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cosine", pround(dot / (F.col("q_norm") * F.col("c_norm")), 6))
-            .select("query_id", "neighbor_id", "cosine"))
+            .select("query_id", "neighbor_id",
+                    F.expr(S._cosine_sql("q_vec", "c_vec",
+                                         "q_norm", "c_norm"))
+                    .alias("cosine")))
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (sims.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -1167,11 +1170,14 @@ def _ivf_nprobe_plan(spark: SparkSession, sf_dir: str, ivf_k: int,
     c = corpus_cells.select(F.col("vec_id").alias("neighbor_id"),
                             F.col("embedding").alias("c_vec"),
                             F.col("norm").alias("c_norm"), "cluster_id")
-    dot = S._dot("q_vec", "c_vec")  # fast interpreted form (r11)
+    # cosine in ONE Project + one F.expr parse (construction cost, r11;
+    # optimized plan pinned identical in tests/test_expr_parity.py)
     sims = (q.join(c, "cluster_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cosine", pround(dot / (F.col("q_norm") * F.col("c_norm")), 6))
-            .select("query_id", "neighbor_id", "cosine"))
+            .select("query_id", "neighbor_id",
+                    F.expr(S._cosine_sql("q_vec", "c_vec",
+                                         "q_norm", "c_norm"))
+                    .alias("cosine")))
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (sims.withColumn("rn", F.row_number().over(w).cast("int"))
