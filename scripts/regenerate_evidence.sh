@@ -65,15 +65,14 @@ python scripts/scale_correctness.py /tmp/sf_16x --all --bounded \
 python scripts/scale_correctness.py /tmp/sf_16x --all --bounded \
   --only dedup_embedding_cosine --tag=16x_pairs_cos --force
 python scripts/verify_clusters_invariant.py /tmp/sf_16x --tag=16x
-# 64x: bench minus the two oracle-cost exclusions (list must mirror
-# tests/test_scale_evidence.py::test_scaled_fixture_records_cover_the_bench_set)
-python - <<'EOF' > /tmp/b64.txt
-from ecommerce_data_engineering_spark.plans import REGISTRY
-names = sorted(n for n, s in REGISTRY.items() if s.bench
-               and n not in ("fact_lineitem_build", "events_sessionization"))
-print(",".join(names))
-EOF
-python scripts/scale_correctness.py /tmp/sf_64x --only "$(cat /tmp/b64.txt)" --bounded --tag=64x --force
+# 64x: FULL --bench sweep since r11 (tests/test_scale_evidence.py::
+# test_scaled_fixture_records_cover_the_bench_set pins n_ok == |bench|;
+# the r6-r10 exclusion of fact_lineitem_build/events_sessionization is
+# gone — the ~164 s single-node fact-build oracle is paid knowingly).
+# An interrupted r11 session re-ran this leg from THIS script's stale
+# --only list and shrank the record to 20 queries; keep the script and
+# the test in lockstep.
+python scripts/scale_correctness.py /tmp/sf_64x --bench --bounded --tag=64x --force
 # skew AND volume compounded (VERDICT r7 #6): the full bench set on the
 # pathological-key fixture derived from the 16x corpus
 python scripts/scale_correctness.py /tmp/sf_skew16x --bench --bounded --tag=skew16x --force
