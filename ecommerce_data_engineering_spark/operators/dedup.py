@@ -57,6 +57,16 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str,
     Tokenization = lowercase, split on non-alphanumeric, drop empties —
     chosen because it is expressible verbatim in every SQL engine
     (regexp_split_to_array in DuckDB), keeping the oracle exact.
+
+    ``id_col`` must uniquely key the rows of ``df`` (true for every
+    caller: doc_id is a fixture primary key).  Under that precondition
+    the per-document dedup happens INSIDE the row (``array_distinct``
+    over the shingle array) instead of a corpus-wide ``.distinct()``:
+    duplicate (id, shingle) pairs can only come from one source row, so
+    the result set is identical while the plan loses its only Exchange —
+    at scale that shuffle moved every distinct shingle STRING across the
+    cluster before any consumer could compress or aggregate it (r11,
+    guide §2.4; equivalence pinned in tests/test_expr_parity.py).
     """
     # one F.expr parse, not a Column-API lambda: HOF lambdas cost
     # dozens of py4j round-trips at plan construction (r11; tree is
@@ -65,13 +75,12 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str,
         f"filter(split(lower(`{text_col}`), '[^a-z0-9]+'), x -> x != '')"
     )
     shingle = F.expr(
-        f"transform(sequence(0, size(w) - {n}), "
-        f"i -> concat_ws(' ', {', '.join(f'w[i+{k}]' for k in range(n))}))"
+        f"array_distinct(transform(sequence(0, size(w) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'w[i+{k}]' for k in range(n))})))"
     )
     return (df.select(F.col(id_col), words.alias("w"))
               .filter(F.size("w") >= n)
-              .select(id_col, F.explode(shingle).alias("shingle"))
-              .distinct())
+              .select(id_col, F.explode(shingle).alias("shingle")))
 
 
 # -------------------------------------------------------------- MinHash LSH
@@ -235,59 +244,121 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
     )
-    tok = (df.select(F.col(id_col), F.explode(words).alias("token"))
-             .distinct()
+    # distinct tokens per doc, deduped INSIDE the row (id_col uniquely
+    # keys rows in every caller) — same result set as the former
+    # corpus-wide .distinct() without its Exchange of raw token strings
+    # (r11, guide §2.4; same argument as word_shingles above)
+    tok = (df.select(F.col(id_col),
+                     F.explode(F.array_distinct(words)).alias("token"))
              .withColumn("h", F.md5(F.col("token"))))
-    votes = tok.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), F.lit(nibbles))).alias("pos"),
-        "h",
-    ).withColumn("val", hex_nibble_value(F.substring(F.col("h"), F.col("pos"), 1)))
-    # exact sum ÷ count instead of avg(): engine avg() accumulation
-    # strategies are unspecified; integer sum + one division is
-    # bit-identical everywhere (matters when the vote mean is exactly 7.5)
-    bit = (votes.groupBy(id_col, "pos")
-                .agg(F.when(F.sum("val").cast("double") / F.count(F.lit(1)) > 7.5,
-                            F.lit("1")).otherwise(F.lit("0"))
-                     .alias("bit")))
-    return (bit.groupBy(id_col)
-               .agg(F.concat_ws(
-                   "",
-                   F.array_sort(F.collect_list(F.struct("pos", "bit")))
-                    .getField("bit"),
-               ).alias("simhash")))
+    # one positional-sum aggregate instead of the r1–r10 explode: the
+    # old plan multiplied every token row by ``nibbles`` position rows
+    # (×32 for the shipped fingerprints — 614M vote rows at 64× data)
+    # and paid a groupBy(id, pos) shuffle plus a second groupBy(id)
+    # with collect_list+array_sort for the bit concat.  Votes at each
+    # position are independent sums, so ONE groupBy(id) with a sum per
+    # position computes all of them with map-side partial aggregation
+    # and no row multiplication (r11, guide §2.3 "aggregate before you
+    # shuffle").  Bit math is unchanged: exact integer sum ÷ count
+    # (engine avg() accumulation strategies are unspecified; this is
+    # bit-identical everywhere, matters when the mean is exactly 7.5),
+    # and concat in position order replaces the pos-sorted collect_list.
+    vals = tok.select(
+        F.col(id_col),
+        *[hex_nibble_value(F.substring(F.col("h"), p, 1)).alias(f"_v{p}")
+          for p in range(1, nibbles + 1)])
+    agg = vals.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"_v{p}").alias(f"_s{p}") for p in range(1, nibbles + 1)])
+    bits = [F.when(F.col(f"_s{p}").cast("double") / F.col("_n") > 7.5,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for p in range(1, nibbles + 1)]
+    return agg.select(F.col(id_col), F.concat(*bits).alias("simhash"))
 
 
 def simhash_near_dups(fingerprints: DataFrame, id_col: str,
                       width: int = 16, max_hamming: int = 2,
                       chunks: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash: block on fingerprint chunks (a pair
-    within hamming ≤ chunks−1 must share ≥1 exact chunk — pigeonhole),
-    then verify hamming distance positionally."""
+    """Near-dup pairs by SimHash: pigeonhole chunk blocking, then verify
+    hamming distance positionally.
+
+    Blocking key (r11): hamming ≤ ``max_hamming`` can touch at most
+    ``max_hamming`` of the ``chunks`` fingerprint chunks, so at least
+    ``chunks − max_hamming`` chunks are IDENTICAL — every qualifying
+    pair shares at least one (chunks − max_hamming)-sized chunk
+    COMBINATION, which is the block key.  The r1–r10 key was one single
+    chunk (complete for the same domain, max_hamming ≤ chunks−1, but a
+    width/chunks-bit key: at 32-bit fingerprints that is 256 distinct
+    buckets no matter the corpus size, so the bucket self-join went
+    quadratic at 64× data).  Combination keys are
+    (chunks − max_hamming)·width/chunks bits — for the shipped
+    (32-bit, hamming ≤ 1, 4 chunks) point: 4 triple-keys of 24 bits,
+    which keeps buckets near-singleton as the corpus grows.  The
+    hamming verification is unchanged, so the emitted pair set is
+    identical (candidates are a superset either way; pinned in
+    tests/test_expr_parity.py against the single-chunk union form)."""
+    import itertools
+
     fp = fingerprints
     clen = max(1, width // chunks)
-    blocked = None
-    for cidx in range(chunks):
-        piece = fp.select(
-            F.col(id_col), F.col("simhash"),
-            F.lit(cidx).alias("chunk"),
-            F.substring("simhash", cidx * clen + 1, clen).alias("ckey"),
-        )
-        blocked = piece if blocked is None else blocked.unionByName(piece)
-    a = blocked.select("chunk", "ckey", F.col(id_col).alias("id_a"),
-                       F.col("simhash").alias("sh_a"))
-    b = blocked.select("chunk", "ckey", F.col(id_col).alias("id_b"),
-                       F.col("simhash").alias("sh_b"))
-    pairs = (a.join(b, ["chunk", "ckey"])
-              .filter(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b", "sh_a", "sh_b").distinct())
-    ham = F.expr(
-        "size(filter(sequence(1, length(sh_a)), "
-        "i -> substring(sh_a, i, 1) <> substring(sh_b, i, 1)))"
-    )
-    return (pairs.withColumn("hamming", ham)
-                 .filter(F.col("hamming") <= max_hamming)
-                 .select("id_a", "id_b", "hamming"))
+    share = max(1, chunks - max_hamming)
+    combos = list(itertools.combinations(range(chunks), share))
+    # all block rows from ONE explode over the fingerprint row — the
+    # former per-chunk union re-planned the whole fingerprint pipeline
+    # (two aggregations) once per branch AND once per self-join side
+    # (8 copies of the subtree in the static plan, r11 probe); the
+    # explode reads it once per side (guide §2.4, same fix as the LSH
+    # band rows and the connected-components edge build)
+    chunk_structs = F.array(*[
+        F.struct(F.lit(ci).alias("chunk"),
+                 F.concat_ws("", *[
+                     F.substring("simhash", c * clen + 1, clen)
+                     for c in combo]).alias("ckey"))
+        for ci, combo in enumerate(combos)])
+    # hamming verification (r11): the old form ran an INTERPRETED
+    # higher-order filter (sequence + 2 substrings per position) over
+    # every candidate pair AFTER a distinct that shuffled both 32-char
+    # fingerprints — at 64× data that was ~53M candidates × 32
+    # interpreted node evals, the measured wall of the whole query.
+    # Fingerprints are '0'/'1' strings, so for width ≤ 63 the whole
+    # fingerprint folds into ONE long per document before the join
+    # (conv base-2) and hamming is bit_count(a ^ b) — three
+    # codegen'd ops per candidate, no strings in the join payload.
+    # The filter moves BEFORE the distinct (hamming is functionally
+    # dependent on the pair, so filter-past-distinct commutes — the
+    # DuckDB oracle has applied it pre-distinct since r9 for the same
+    # blowup reason), leaving only true near-dup pairs to deduplicate.
+    if width <= 63:
+        fpl = F.expr("cast(conv(simhash, 2, 10) as bigint)")
+        blocked = (fp.select(F.col(id_col), fpl.alias("fpl"),
+                             F.explode(chunk_structs).alias("cc"))
+                     .select(id_col, "fpl",
+                             F.col("cc.chunk").alias("chunk"),
+                             F.col("cc.ckey").alias("ckey")))
+        a = blocked.select("chunk", "ckey", F.col(id_col).alias("id_a"),
+                           F.col("fpl").alias("fp_a"))
+        b = blocked.select("chunk", "ckey", F.col(id_col).alias("id_b"),
+                           F.col("fpl").alias("fp_b"))
+        ham = F.expr("bit_count(fp_a ^ fp_b)").cast("int")
+    else:
+        blocked = (fp.select(F.col(id_col), F.col("simhash"),
+                             F.explode(chunk_structs).alias("cc"))
+                     .select(id_col, "simhash",
+                             F.col("cc.chunk").alias("chunk"),
+                             F.col("cc.ckey").alias("ckey")))
+        a = blocked.select("chunk", "ckey", F.col(id_col).alias("id_a"),
+                           F.col("simhash").alias("sh_a"))
+        b = blocked.select("chunk", "ckey", F.col(id_col).alias("id_b"),
+                           F.col("simhash").alias("sh_b"))
+        # fixed positional CASE sum — codegen'd, no lambda interpretation
+        ham = F.expr(" + ".join(
+            f"(CASE WHEN substring(sh_a, {i}, 1) <> substring(sh_b, {i}, 1) "
+            f"THEN 1 ELSE 0 END)" for i in range(1, width + 1))).cast("int")
+    return (a.join(b, ["chunk", "ckey"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", ham.alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
+             .distinct())
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

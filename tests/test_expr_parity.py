@@ -182,6 +182,23 @@ def _word_shingles_ref(df, text_col, id_col, n=3):
     )
     return (df.select(F.col(id_col), words.alias("w"))
               .filter(F.size("w") >= n)
+              .select(id_col,
+                      F.explode(F.array_distinct(shingle)).alias("shingle")))
+
+
+def _word_shingles_r10(df, text_col, id_col, n=3):
+    """The pre-r11 algorithm: cross-row .distinct() after the explode —
+    kept as the definitional reference for the array_distinct rewrite
+    (the oracle SQL still spells DISTINCT doc_id, shingle)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    shingle = F.expr(
+        f"transform(sequence(0, size(w) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'w[i+{k}]' for k in range(n))}))"
+    )
+    return (df.select(F.col(id_col), words.alias("w"))
+              .filter(F.size("w") >= n)
               .select(id_col, F.explode(shingle).alias("shingle"))
               .distinct())
 
@@ -216,6 +233,100 @@ def test_word_shingles_sql_text_matches_column_form(spark):
     new = D.word_shingles(docs, "text", "doc_id")
     ref = _word_shingles_ref(docs, "text", "doc_id")
     assert new.sameSemantics(ref)
+
+
+def test_word_shingles_array_distinct_equals_cross_row_distinct(spark):
+    """r11: array_distinct INSIDE the row replaces the corpus-wide
+    .distinct() Exchange.  Equivalent iff id_col uniquely keys rows —
+    duplicate (id, shingle) pairs can then only come from one source
+    row.  Pinned as multiset equality on texts engineered to produce
+    intra-document duplicate shingles (the case the dedup exists for),
+    plus empty/short/unicode edges."""
+    from ecommerce_data_engineering_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),          # every trigram repeats
+         (2, "a b c"),                       # exactly one shingle
+         (3, "x y"),                         # below width -> no rows
+         (4, ""),                            # empty
+         (5, "Té TÉ té te te te"),  # unicode + case fold
+         (6, "a  b\tc   a b c")],            # separator runs
+        "doc_id INT, text STRING")
+    new = D.word_shingles(docs, "text", "doc_id")
+    ref = _word_shingles_r10(docs, "text", "doc_id")
+    n_rows = new.count()
+    assert n_rows == ref.count()
+    # distinct-ness is part of the contract: no (id, shingle) repeats
+    assert new.distinct().count() == n_rows
+    assert new.exceptAll(ref).count() == 0
+    assert ref.exceptAll(new).count() == 0
+
+
+def test_simhash_token_array_distinct_equals_cross_row_distinct(spark):
+    """Same r11 rewrite inside simhash: per-row token dedup must leave
+    the fingerprints bit-identical to the cross-row-distinct form."""
+    from ecommerce_data_engineering_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(1, "one one one two TWO three"),
+         (2, "repeat repeat repeat repeat"),
+         (3, "all distinct tokens here"),
+         (4, "")],
+        "doc_id INT, text STRING")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+    tok_ref = (docs.select(F.col("doc_id"), F.explode(words).alias("token"))
+               .distinct())
+    tok_new = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(words)).alias("token"))
+    assert tok_new.exceptAll(tok_ref).count() == 0
+    assert tok_ref.exceptAll(tok_new).count() == 0
+    fps = {r["doc_id"]: r["simhash"]
+           for r in D.simhash(docs, "text", "doc_id").collect()}
+    assert set(fps) == {1, 2, 3}   # doc 4 has no tokens -> no fingerprint
+    assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in fps.values())
+
+
+def test_simhash_blocking_explode_equals_union_of_chunks(spark):
+    """r11: simhash_near_dups (a) builds its block rows from ONE explode
+    instead of a per-chunk union that re-planned the whole fingerprint
+    pipeline once per branch and per self-join side, and (b) blocks on
+    (chunks − max_hamming)-sized chunk COMBINATIONS instead of single
+    chunks.  Both candidate sets are supersets of the true pair set, so
+    the emitted pairs must be identical to the old single-chunk union
+    form (the reference below).  max_hamming=2 ⇒ combination size 2 —
+    a genuinely different candidate generator than the reference."""
+    from ecommerce_data_engineering_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(i, f"shared words everywhere plus doc{i % 3} marker token")
+         for i in range(12)],
+        "doc_id INT, text STRING")
+    fp = D.simhash(docs, "text", "doc_id")
+    new = D.simhash_near_dups(fp, "doc_id", 16, max_hamming=2, chunks=4)
+
+    # union-of-chunks reference (the pre-r11 shape), verified row-equal
+    clen = 4
+    blocked = None
+    for cidx in range(4):
+        piece = fp.select(
+            F.col("doc_id"), F.col("simhash"),
+            F.lit(cidx).alias("chunk"),
+            F.substring("simhash", cidx * clen + 1, clen).alias("ckey"))
+        blocked = piece if blocked is None else blocked.unionByName(piece)
+    a = blocked.select("chunk", "ckey", F.col("doc_id").alias("id_a"),
+                       F.col("simhash").alias("sh_a"))
+    b = blocked.select("chunk", "ckey", F.col("doc_id").alias("id_b"),
+                       F.col("simhash").alias("sh_b"))
+    pairs = (a.join(b, ["chunk", "ckey"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    ham = F.expr(
+        "size(filter(sequence(1, length(sh_a)), "
+        "i -> substring(sh_a, i, 1) <> substring(sh_b, i, 1)))")
+    ref = (pairs.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= 2)
+                .select("id_a", "id_b", "hamming"))
+    assert new.exceptAll(ref).count() == 0
+    assert ref.exceptAll(new).count() == 0
+    assert new.count() > 0   # fixture actually produces pairs
 
 
 def test_minhash_cols_sql_text_matches_column_form(spark):

@@ -386,13 +386,18 @@ SHUFFLE_BUDGET = {
     "corpus_curation_funnel": (2, 1),
     # decontaminate: the old text budget said (4,1) — its cached
     # shingle frame has two consumers and the TEXT repeated the build's
-    # exchange; the tree count is the honest (3,1)
-    "corpus_decontaminate": (3, 1),
+    # exchange; the tree count was the honest (3,1) until r11 replaced
+    # word_shingles' corpus-wide .distinct() with a per-row
+    # array_distinct (the shuffle of raw shingle strings is gone)
+    "corpus_decontaminate": (2, 1),
     "corpus_gopher_rules": (0, 0),
     "corpus_sequence_packing": (1, 0),
     "customer_metrics": (2, 1),
     "daily_sales": (2, 0),
-    "dedup_minhash_lsh": (11, 5),
+    # 11 -> 10 in r11: word_shingles dedups inside the row
+    # (array_distinct), so the cached shingle frame's build plan lost
+    # its corpus-wide distinct Exchange
+    "dedup_minhash_lsh": (10, 5),
     "embedding_ann_lsh": (1, 1),
     # embedding_cosine_topk left the bench set in r7 (VERDICT r6 #2:
     # deliberately-quadratic exact yardstick dominated the scaled
