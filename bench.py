@@ -44,17 +44,41 @@ from ecommerce_data_engineering_spark.loadctx import (  # noqa: E402
 )
 
 
-def _calibrate(spark) -> float:
-    """Fixed-cost CPU-bound reference job timed in the same process:
-    median of 3 runs of a pure-codegen range aggregation (no IO, no
-    data dependence, no shuffle variance).  Its runtime moves with
-    exogenous box load exactly like the roster's does, so the
-    round-over-round ratio of this number is the mechanical yardstick
-    for classifying shared-roster drift."""
+def _calibrate_legacy(spark) -> float:
+    """r9–r11 fixed-cost reference job, kept verbatim so the
+    round-over-round drift classifier keeps a like-for-like yardstick
+    against the committed BENCH_r{<=11} artifacts (their "calib" field
+    was produced by exactly this job).  Too light to discriminate core
+    count (~0.11 s is mostly per-job scheduling) — that is what
+    _calibrate below is for."""
     def one() -> float:
         t0 = time.perf_counter()
         spark.range(0, 200_000_000, 1, 32).selectExpr(
             "sum(id * 3 + 1) AS s").write.format("noop") \
+            .mode("overwrite").save()
+        return time.perf_counter() - t0
+    one()  # warm
+    return round(statistics.median(one() for _ in range(3)), 3)
+
+
+def _calibrate(spark) -> float:
+    """Core-bound reference job (VERDICT r11 #2): ~21 core-seconds of
+    codegen'd hash arithmetic spread over 128 even partitions, so its
+    runtime is ~inversely proportional to the worker count — the
+    driver's lower-core re-run must read this field a multiple higher
+    (the box's real thread-scaling: measured 2.5× for 8→32 vCPUs on
+    this virtualized Xeon — sub-linear at 32 threads from host-level
+    contention, but decisively >1), which proves from the artifact
+    alone that $SPARK_GRAFT_CPUS reached the JVM.  xxhash64 (not
+    id*3+1) keeps per-row work heavy enough that per-task scheduling
+    is <5% of the job (37.5M rows/task); bit_xor avoids ANSI sum
+    overflow; 128 partitions keep an 8-core leg balanced (16 waves).
+    Measured: 1.04 s @ local[32], 2.61 s @ local[8], 3.2 s @ local[4]
+    (medians of 3, idle box, 2026-08-18)."""
+    def one() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 4_800_000_000, 1, 128).selectExpr(
+            "bit_xor(xxhash64(id)) AS s").write.format("noop") \
             .mode("overwrite").save()
         return time.perf_counter() - t0
     one()  # warm
@@ -113,6 +137,7 @@ def main() -> None:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
     calib_start = _calibrate(spark)
+    calib_legacy_start = _calibrate_legacy(spark)
 
     pass_a: dict[str, list[float]] = {}
     for name, spec in bench_queries.items():
@@ -196,6 +221,7 @@ def main() -> None:
         if floors[name] > 0 and timings[name] / floors[name] <= 1.3:
             suspect.remove(name)
     calib_end = _calibrate(spark)
+    calib_legacy_end = _calibrate_legacy(spark)
     load_end = _load_snapshot()
 
     # The driver captures only the LAST ~2000 chars of stdout; r3's
@@ -219,10 +245,23 @@ def main() -> None:
         # observation: both sampling windows were noisy; treat their
         # entries (and their share of "value") as upper bounds
         "suspect": suspect,
-        # fixed-cost calibration query (same process, pure codegen, no
-        # IO): its round-over-round ratio is the exogenous-load
-        # yardstick.  min of the two brackets = the cleaner window.
+        # core-bound calibration query (VERDICT r11 #2): ~30 s of
+        # single-core work over 128 partitions, so this field scales
+        # ~inversely with the worker count — an N-core leg must read
+        # ≈(32/N)× the 32-core value, proving the core-count contract
+        # from the artifact.  min of the two brackets = cleaner window.
         "calib": min(calib_start, calib_end),
+        # r9–r11 fixed-cost job, methodology unchanged, for the
+        # round-over-round drift classifier (committed BENCH_r{<=11}
+        # "calib" fields came from this job)
+        "calib_legacy": min(calib_legacy_start, calib_legacy_end),
+        # scaling-contract proof (VERDICT r11 #2): record the master /
+        # parallelism the JVM actually ran with, so a harness where
+        # $SPARK_GRAFT_CPUS never reached the session is visible in the
+        # artifact instead of inferred from ratios
+        "master": spark.sparkContext.master,
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
         "load": {
             "loadavg_start": load_start.get("loadavg"),
             "loadavg_end": load_end.get("loadavg"),
@@ -267,10 +306,15 @@ def main() -> None:
         # "environmental".  The class is therefore advisory in that
         # direction; per-query delta_vs_prev (and load/cpu_busy_frac,
         # emitted alongside) remain the ground truth for bisection.
-        if prev.get("calib"):
+        # like-for-like chain: BENCH_r{<=11} "calib" was the legacy job,
+        # so the classifier compares this round's calib_legacy against
+        # prev's calib_legacy if present, else prev's calib (r12
+        # methodology change: "calib" itself became the core-bound job)
+        prev_calib_legacy = prev.get("calib_legacy") or prev.get("calib")
+        if prev_calib_legacy:
             shared_ratio = (out["value_shared_prev"]
                             / max(out["value_shared_prev_baseline"], 1e-9))
-            calib_ratio = out["calib"] / prev["calib"]
+            calib_ratio = out["calib_legacy"] / prev_calib_legacy
             out["shared_ratio"] = round(shared_ratio, 3)
             out["calib_ratio"] = round(calib_ratio, 3)
             out["drift_class"] = (
@@ -285,6 +329,8 @@ def main() -> None:
         "min": floors,
         "calib_start": calib_start,
         "calib_end": calib_end,
+        "calib_legacy_start": calib_legacy_start,
+        "calib_legacy_end": calib_legacy_end,
     }
     if prev and prev.get("sf") == out["sf"] and prev.get("queries"):
         detail["delta_vs_prev"] = {

@@ -299,9 +299,17 @@ def simhash_near_dups(fingerprints: DataFrame, id_col: str,
     tests/test_expr_parity.py against the single-chunk union form)."""
     import itertools
 
+    # ADVICE r11: the former ``max(1, chunks - max_hamming)`` clamp
+    # silently made the blocking INCOMPLETE for max_hamming >= chunks
+    # (a qualifying pair can then differ in every chunk and share no
+    # block key) — surface the invalid parameterisation instead.
+    if not 0 <= max_hamming < chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} must be in [0, chunks={chunks}) "
+            f"for pigeonhole blocking to be complete")
     fp = fingerprints
     clen = max(1, width // chunks)
-    share = max(1, chunks - max_hamming)
+    share = chunks - max_hamming
     combos = list(itertools.combinations(range(chunks), share))
     # all block rows from ONE explode over the fingerprint row — the
     # former per-chunk union re-planned the whole fingerprint pipeline
@@ -329,7 +337,13 @@ def simhash_near_dups(fingerprints: DataFrame, id_col: str,
     # DuckDB oracle has applied it pre-distinct since r9 for the same
     # blowup reason), leaving only true near-dup pairs to deduplicate.
     if width <= 63:
-        fpl = F.expr("cast(conv(simhash, 2, 10) as bigint)")
+        # positions 1..width only (ADVICE r11: the bare conv hammed the
+        # WHOLE string, so the two width branches disagreed when the
+        # fingerprint is longer than ``width``; substring makes both
+        # measure the same distance — a no-op for in-spec inputs, where
+        # length(simhash) == width by construction of simhash())
+        fpl = F.expr(
+            f"cast(conv(substring(simhash, 1, {width}), 2, 10) as bigint)")
         blocked = (fp.select(F.col(id_col), fpl.alias("fpl"),
                              F.explode(chunk_structs).alias("cc"))
                      .select(id_col, "fpl",

@@ -50,7 +50,10 @@ def main() -> None:
         sc.setJobDescription(None)
         out[name] = {"min": min(runs), "med": round(statistics.median(runs), 3),
                      "runs": runs}
-        print(f"  {name}: min {min(runs)} med {out[name]['med']}", flush=True)
+        # progress to stderr so stdout stays one parseable JSON object
+        # (ADVICE r11)
+        print(f"  {name}: min {min(runs)} med {out[name]['med']}",
+              file=sys.stderr, flush=True)
     print(json.dumps(out))
 
 

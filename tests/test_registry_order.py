@@ -174,46 +174,88 @@ def test_bench_final_json_line_fits_driver_tail():
         "unit": "sec", "queries": queries, "sf": 0.1,
         # worst case: every benched query self-flags as suspect
         "suspect": sorted(queries),
+        # calibration + scaling-proof context (r9 #1, r11 #2)
+        "calib": 999.999, "calib_legacy": 999.999,
+        "master": "local[128]", "parallelism": 128,
+        "shuffle_partitions": 128,
+        "load": {"loadavg_start": [99.99, 99.99, 99.99],
+                 "loadavg_end": [99.99, 99.99, 99.99],
+                 "cpu_busy_frac": 0.9999, "ncpu": 128},
         # shared-roster subtotals (VERDICT r8 #6) ride the final line
         "value_shared_prev": 99999.999,
         "value_shared_prev_baseline": 99999.999,
+        "geomean_ratio_shared": 9.999, "shared_ratio": 9.999,
+        "calib_ratio": 9.999, "drift_class": "plan_or_unexplained",
     }, separators=(",", ":"))
     assert len(line) <= 1800, (
         f"final bench line would be {len(line)} chars; trim the bench "
         f"set or shorten names before the driver truncates it again")
 
 
-ROTATION_COHORT_R11 = {"corpus_leakage_safe_split"}
-
-
-def test_rotation_cohort_r11_in_window_and_truly_first_time():
-    """The r11-born leakage-safe split must sit inside the driver
-    window (rotation-complete invariant: every new query takes its
-    first official row immediately) and must have no row in any
-    committed pre-r11 CORRECTNESS artifact.  Its slot's evictee,
-    corpus_filter_pipeline, must retain coverage: both its EXT ids
+def test_r12_revert_of_r11_window_swap():
+    """VERDICT r11 #1: the r11-born corpus_leakage_safe_split displaced
+    corpus_filter_pipeline from the 50-slot driver window — the r11
+    gate failure.  r12 reverts the swap: corpus_filter_pipeline is back
+    in its tier-9 slot; corpus_leakage_safe_split (which took its first
+    official driver row in r11 — pinned below) heads tier 10 and stays
+    locally oracle-diffed.  Coverage of the demoted query's ids must be
     carried by window stayers."""
-    import glob
     import json
     import os
 
     window = list(REGISTRY.items())[:DRIVER_WINDOW]
     window_names = {n for n, _ in window}
-    assert ROTATION_COHORT_R11 <= window_names
-    assert "corpus_filter_pipeline" not in window_names
-
-    covered = {c for _, s in window for c in s.covers}
-    for cid in REGISTRY["corpus_filter_pipeline"].covers:
-        assert cid in covered, f"evicted id {cid} lost from window"
-
+    assert "corpus_filter_pipeline" in window_names
+    assert "corpus_leakage_safe_split" not in window_names
+    # the demotion is safe only because the r11 driver row exists
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
-        if rnd >= 11:
-            continue
-        with open(path) as f:
-            seen |= set(json.load(f))
-    assert seen, "past CORRECTNESS artifacts missing — wrong cwd?"
-    stale = ROTATION_COHORT_R11 & seen
-    assert not stale, f"r11 cohort already driver-verified: {stale}"
+    with open(os.path.join(root, "CORRECTNESS_r11.json")) as f:
+        r11 = json.load(f)
+    row = r11.get("corpus_leakage_safe_split")
+    assert row and row["rows_match"] and row["schema_match"] \
+        and row["hash_match"], (
+            "corpus_leakage_safe_split has no green r11 driver row — "
+            "it must not leave the window")
+    covered = {c for _, s in window for c in s.covers}
+    for cid in REGISTRY["corpus_leakage_safe_split"].covers:
+        assert cid in covered, f"demoted id {cid} lost from window"
+
+
+# The driver window as of the r12 revert — FROZEN (VERDICT r11 #1).
+# Every swap produces a one-round "dropped" entry in the driver's PERF
+# comparison, so the window may only change when a BUILD round
+# deliberately registers a new query (restate this list in the same
+# commit).  Optimization rounds must never touch it.
+FROZEN_WINDOW_R12 = (
+    "clean_customer_strings", "coerce_event_props", "dq_summary",
+    "dim_time_from_orders", "dim_time_insert_if_absent",
+    "scd2_customer_merge", "fact_orders_build", "customer_metrics",
+    "product_metrics", "monthly_trends", "acquisition_summary",
+    "campaign_attribution", "top_products", "pricing_summary",
+    "sql_api_revenue_by_status", "customer_set_ops",
+    "top_revenue_orders", "shipmode_priority_buckets",
+    "customer_full_name", "dq_contract", "ingest_refresh_roundtrip",
+    "pipeline_daily_sales", "purchase_click_asof",
+    "event_user_enrichment", "events_session_window_native",
+    "cdc_incremental_metrics", "customer_value_quartiles",
+    "events_rollup_cascade", "unpivot_monthly_metrics",
+    "order_value_percentiles_approx", "events_json_props",
+    "dedup_minhash_lsh", "dedup_clusters", "corpus_intradoc_dedup",
+    "embedding_ann_ivf", "embedding_ann_production",
+    "embedding_index_delta", "embedding_ivf_kmeans",
+    "text_pii_redaction", "multimodal_audio_decode",
+    "corpus_curation_funnel", "corpus_chunk_dedup",
+    "corpus_decontaminate", "corpus_filter_pipeline",
+    "corpus_deterministic_sample", "corpus_eval_quota_sample",
+    "corpus_greedy_packing", "corpus_mix_rebalance",
+    "corpus_source_mix", "corpus_token_histogram",
+)
+
+
+def test_driver_window_frozen_r12():
+    """The exact, ordered driver window is pinned: a dropped/renamed/
+    reordered window query is a driver-level regression regardless of
+    anything else (the r11 verdict).  Any deliberate future change must
+    restate FROZEN_WINDOW_R12 in the same commit with its rationale."""
+    assert len(FROZEN_WINDOW_R12) == DRIVER_WINDOW
+    assert list(REGISTRY)[:DRIVER_WINDOW] == list(FROZEN_WINDOW_R12)
