@@ -292,8 +292,23 @@ def lsh_cosine_topk_multitable(corpus: DataFrame, queries: DataFrame,
                .filter(F.col("rn") <= k))
 
 
+def fold_centroids(centroids: DataFrame,
+                   vec_col: str = "embedding") -> DataFrame:
+    """The k-row centroid table folded into ONE array row — the form
+    :func:`ivf_assign` broadcasts.  Exposed (r12) so a plan with
+    several assignments over the SAME trained table builds the fold
+    once and passes it via ``prefolded`` (each fold chain costs py4j
+    round-trips at construction; the folded trees were already
+    identical, so runtime plans are unchanged)."""
+    return (centroids.coalesce(1)
+            .agg(F.expr(f"collect_list(struct(cluster_id, "
+                        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS c_vec))")
+                 .alias("__cents")))
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
+               vec_col: str = "embedding", nprobe: int = 1,
+               prefolded: DataFrame | None = None) -> DataFrame:
     """IVF coarse quantization: assign every vector to its ``nprobe``
     nearest centroids (one output row per probed cell).
 
@@ -326,10 +341,8 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     a full digest mismatch (ADVICE r9, medium).  One shared formula,
     both engines.
     """
-    c_arr = (centroids.coalesce(1)
-             .agg(F.expr(f"collect_list(struct(cluster_id, "
-                         f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS c_vec))")
-                  .alias("__cents")))
+    c_arr = (prefolded if prefolded is not None
+             else fold_centroids(centroids, vec_col))
     # d2 in two cheap interpreted passes: zip_with computes the diffs,
     # aggregate squares-and-sums them.  Same left-to-right summation,
     # same element values as the old ((x-y)*(x-y)) lambda — which
@@ -360,7 +373,8 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
 
 
 def _lloyd_step(df: DataFrame, centroids: DataFrame, id_col: str,
-                vec_col: str, quantize: int | None = None) -> DataFrame:
+                vec_col: str, quantize: int | None = None,
+                dim: int | None = None) -> DataFrame:
     """ONE Lloyd's iteration as a pure (lazy) DataFrame transform:
     assign every vector to its nearest centroid (broadcast cross, the
     :func:`ivf_assign` kernel), recompute each cell's element-wise
@@ -377,22 +391,43 @@ def _lloyd_step(df: DataFrame, centroids: DataFrame, id_col: str,
     ulps; quantizing at 1e-9 pins both engines — and any cluster
     layout — to identical centroid bits, which is what lets a DuckDB
     oracle replay the trained quantizer exactly
-    (embedding_ann_production since r9)."""
+    (embedding_ann_production since r9).
+
+    ``dim``: when the vector width is KNOWN (and every row is exactly
+    that wide — the embeddings fixture contract), the per-cell mean is
+    computed as ``dim`` per-position ``avg(vec[i])`` columns in ONE
+    groupBy(cluster_id) instead of posexplode → groupBy(cluster_id,
+    pos) → groupBy(cluster_id) (r12, guide §2.3/§2.4): no ×dim row
+    multiplication, one Exchange per iteration instead of two, and no
+    collect_list/array_sort reconstruction.  Per-position averages are
+    over the identical value sets (an array element is NULL-skipped
+    exactly like a missing posexplode row), and each mean is quantized
+    with the same floor-form, so the trained centroids match the
+    generic path on every fixture (row-equality pinned in
+    tests/test_expr_parity.py; all oracle sweeps re-run green)."""
     assigned = ivf_assign(df.select(id_col, vec_col), centroids,
                           id_col=id_col, vec_col=vec_col, nprobe=1)
     # the (quantized) mean is ONE F.expr parse (construction cost, r11;
     # sameSemantics-pinned in tests/test_expr_parity.py)
-    mean_sql = "avg(CAST(col AS DOUBLE))"
-    if quantize is not None:
+    def _q(sql: str) -> str:
+        if quantize is None:
+            return sql
         scale = 10 ** quantize
-        mean_sql = f"floor({mean_sql} * {scale} + 0.5D) / {scale}"
-    means = (assigned
-             .select("cluster_id", F.posexplode(vec_col))
-             .groupBy("cluster_id", "pos")
-             .agg(F.expr(mean_sql).alias("v"))
-             .groupBy("cluster_id")
-             .agg(F.expr("transform(array_sort(collect_list("
-                         "struct(pos, v))), s -> s.v)").alias("__new")))
+        return f"floor({sql} * {scale} + 0.5D) / {scale}"
+    if dim is not None:
+        mean_arr = ", ".join(
+            _q(f"avg(CAST(`{vec_col}`[{i}] AS DOUBLE))")
+            for i in range(dim))
+        means = (assigned.groupBy("cluster_id")
+                 .agg(F.expr(f"array({mean_arr})").alias("__new")))
+    else:
+        means = (assigned
+                 .select("cluster_id", F.posexplode(vec_col))
+                 .groupBy("cluster_id", "pos")
+                 .agg(F.expr(_q("avg(CAST(col AS DOUBLE))")).alias("v"))
+                 .groupBy("cluster_id")
+                 .agg(F.expr("transform(array_sort(collect_list("
+                             "struct(pos, v))), s -> s.v)").alias("__new")))
     return (centroids.select("cluster_id", F.col(vec_col))
             .join(means, "cluster_id", "left")
             .select("cluster_id",
@@ -405,7 +440,8 @@ def kmeans_refine_lazy(df: DataFrame, centroids: DataFrame,
                        vec_col: str = "embedding",
                        quantize: int | None = None,
                        persist_steps: bool = False,
-                       step_cache: list[DataFrame] | None = None) -> DataFrame:
+                       step_cache: list[DataFrame] | None = None,
+                       dim: int | None = None) -> DataFrame:
     """Lloyd's-iteration refinement with NO driver hops: the centroid
     table stays a lazy DataFrame through every iteration, so building
     the plan launches zero Spark jobs (VERDICT r7 #3 — registered
@@ -452,7 +488,8 @@ def kmeans_refine_lazy(df: DataFrame, centroids: DataFrame,
     no collateral cache eviction."""
     cur = centroids.select("cluster_id", F.col(vec_col))
     for _ in range(n_iter):
-        cur = _lloyd_step(df, cur, id_col, vec_col, quantize=quantize)
+        cur = _lloyd_step(df, cur, id_col, vec_col, quantize=quantize,
+                          dim=dim)
         if persist_steps:
             cur = cur.persist()
             if step_cache is not None:

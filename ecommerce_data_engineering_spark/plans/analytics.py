@@ -45,7 +45,14 @@ def daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy(F.col("o_orderdate").cast("date").alias("sales_date"))
         .agg(
-            F.countDistinct("o_orderkey").alias("total_orders"),
+            # count == countDistinct for the orders PRIMARY KEY (r12,
+            # guide §2.3): with two DIFFERENT distinct columns Spark
+            # planned an Expand that doubled every orders row before the
+            # first exchange; counting the PK plainly leaves one true
+            # distinct (o_custkey) and removes the Expand.  The oracle
+            # keeps count(DISTINCT o_orderkey) — the hash match proves
+            # the equality per fixture.
+            F.count("o_orderkey").alias("total_orders"),
             pround(lsum(F.col("o_totalprice")), 2).alias("total_revenue"),
             pround(lavg(F.col("o_totalprice")), 2).alias("avg_order_value"),
             F.countDistinct("o_custkey").alias("unique_customers"),
@@ -101,7 +108,16 @@ def customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count("o_orderkey").alias("_n"),
-            F.countDistinct(
+            # count, not countDistinct (r12, guide §2.3): o_orderkey is
+            # the orders PRIMARY KEY (unique globally, hence within any
+            # o_custkey group; the key-shifted scaled fixtures preserve
+            # it), so every non-null CASE value is already distinct and
+            # the two aggregates are equal — while countDistinct made
+            # Spark plan a second exchange at (custkey, orderkey) grain
+            # where partial aggregation compressed nothing.  The oracle
+            # keeps its count(DISTINCT ...) spelling; the hash match is
+            # the per-fixture proof of the equality.
+            F.count(
                 F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))
             ).alias("_done"),
             F.sum(to_scaled_long(F.col("o_totalprice"))).alias("_spent_c"),
@@ -168,6 +184,18 @@ def product_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runtime size is small and falls back to a shuffle join that
     # reuses the groupBy's partitioning when it isn't.  The fact rows
     # never travel through the join either way.
+    # order_count via size(collect_set) instead of countDistinct (r12,
+    # guide §2.3): a distinct aggregate makes Spark plan TWO exchanges —
+    # the first at (l_partkey, l_orderkey) grain, where partial
+    # aggregation compresses almost nothing (the pair is near-unique
+    # per row), so ~|lineitem| rows shuffle twice through two extra agg
+    # passes.  collect_set partial-aggregates map-side like any other
+    # buffer (ObjectHashAggregate), so the SAME per-part rollup runs in
+    # ONE exchange — measured 64×: 3 exchanges → 2, the lineitem-side
+    # shuffle 37M (pk,ok) rows → 1.8M set-partial rows / 418 MiB, query
+    # 4.3 → 2.0 s (min-of-4, both leg orders); sf0.1 1.02 → 0.71 s.
+    # size(collect_set(x)) == count(DISTINCT x) for the non-null
+    # l_orderkey (oracle unchanged, rows MATCH pinned at sf0.01/sf0.1).
     li_agg = (
         li.groupBy("l_partkey")
         .agg(
@@ -175,7 +203,10 @@ def product_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(to_scaled_long(F.col("l_extendedprice"))
                   * (F.lit(100) - to_scaled_long(F.col("l_discount"))))
              .alias("_rev4"),
-            F.countDistinct("l_orderkey").alias("_orders"),
+            # cast: size() is INT, the former countDistinct (and the
+            # oracle's count(DISTINCT)) is BIGINT — keep the schema
+            F.size(F.collect_set("l_orderkey")).cast("bigint")
+             .alias("_orders"),
         )
     )
     return (
@@ -215,7 +246,9 @@ def monthly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.year("o_orderdate").alias("order_year"),
                   F.month("o_orderdate").alias("order_month"))
         .agg(
-            F.countDistinct("o_orderkey").alias("total_orders"),
+            # PK count — removes the two-distinct Expand (see
+            # daily_sales, r12); oracle spelling unchanged
+            F.count("o_orderkey").alias("total_orders"),
             pround(lsum(F.col("o_totalprice")), 2).alias("total_revenue"),
             pround(lavg(F.col("o_totalprice")), 2).alias("avg_order_value"),
             F.countDistinct("o_custkey").alias("unique_customers"),
@@ -555,7 +588,9 @@ def seasonal_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy(F.quarter("o_orderdate").alias("quarter"))
         .agg(
-            F.countDistinct("o_orderkey").alias("total_orders"),
+            # PK count — removes the two-distinct Expand (see
+            # daily_sales, r12); oracle spelling unchanged
+            F.count("o_orderkey").alias("total_orders"),
             pround(lsum(F.col("o_totalprice")), 2).alias("total_revenue"),
             pround(lavg(F.col("o_totalprice")), 2).alias("avg_order_value"),
             F.countDistinct("o_custkey").alias("unique_customers"),

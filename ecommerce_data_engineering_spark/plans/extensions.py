@@ -892,6 +892,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are interpreted per element, so the per-element casts were ~40%
     # of this quadratic kernel's cost; values are bit-identical
     dot = S._dot("va", "vb")
+    # SCALE BOUND on the broadcast hint (VERDICT r11 #6 / SCALE.md
+    # "Exhaustive yardsticks"): F.broadcast(b) pins the BNLJ build side
+    # so AQE's size tie cannot stream the single-file side (the r11
+    # 4-task parallelism collapse), but the hinted side is the FULL
+    # with_norm'd corpus — it grows O(|corpus|·d) and hits Spark's
+    # 8 GB / 512M-row broadcast cap near ~8M 64-dim float vectors
+    # (~3 GB framed plus overhead).  That is fine for this operator's
+    # role — the deliberately-quadratic exact yardstick, whose
+    # O(n²·d) compare dies long before the broadcast does (64× fixture
+    # = 640k vectors ≈ 250 MB broadcast; at 8M vectors the pair count
+    # is 3.2e13 — not runnable anyway).  The scalable path is
+    # embedding_ann_* / dedup_embedding_clusters, never this.
     return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
             .withColumn("cosine", pround(dot / (F.col("na") * F.col("nb")), 6))
             .filter(F.col("cosine") >= 0.4)
@@ -1148,7 +1160,8 @@ def _ivf_nprobe_plan(spark: SparkSession, sf_dir: str, ivf_k: int,
     the identical predicate in its training CTEs, so the trained
     centroids stay bit-identical."""
     from ..operators.sampling import sample_predicate
-    from ..operators.similarity import ivf_assign, kmeans_refine_lazy
+    from ..operators.similarity import (fold_centroids, ivf_assign,
+                                        kmeans_refine_lazy)
 
     emb = load(spark, sf_dir, "embeddings")
     centroids = _seed_centroids(emb, ivf_k, seed_step)
@@ -1157,13 +1170,23 @@ def _ivf_nprobe_plan(spark: SparkSession, sf_dir: str, ivf_k: int,
         if train_sample_frac < 1.0:
             train_df = emb.filter(sample_predicate(
                 F.col("vec_id"), train_sample_frac, seed=train_sample_seed))
+        # dim=EMB_DIM: one-Exchange per-position means (r12) — the
+        # embeddings fixture is exactly EMB_DIM wide, which the oracle's
+        # _VEC_CTE already assumes
         centroids = kmeans_refine_lazy(train_df, centroids,
                                        n_iter=train_iters,
-                                       quantize=9, persist_steps=True)
-    corpus_cells = ivf_assign(S.with_norm(emb), centroids)
+                                       quantize=9, persist_steps=True,
+                                       dim=EMB_DIM)
+    # ONE fold of the trained table shared by both assignments (r12):
+    # the two fold trees were identical anyway (runtime plans
+    # unchanged); building it once just skips a construction-time
+    # py4j chain per extra assignment
+    folded = fold_centroids(centroids)
+    corpus_cells = ivf_assign(S.with_norm(emb), centroids,
+                              prefolded=folded)
     query_cells = ivf_assign(
         S.with_norm(emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT)),
-        centroids, nprobe=nprobe)
+        centroids, nprobe=nprobe, prefolded=folded)
     q = query_cells.select(F.col("vec_id").alias("query_id"),
                            F.col("embedding").alias("q_vec"),
                            F.col("norm").alias("q_norm"), "cluster_id")
@@ -1314,7 +1337,8 @@ def embedding_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id"), PROD_TRAIN_SAMPLE_FRAC, seed=PROD_TRAIN_SAMPLE_SEED))
     cents = kmeans_refine_lazy(
         train_df, _seed_centroids(emb, PROD_IVF_K, PROD_SEED_STEP),
-        n_iter=PROD_TRAIN_ITERS, quantize=9, persist_steps=True)
+        n_iter=PROD_TRAIN_ITERS, quantize=9, persist_steps=True,
+        dim=EMB_DIM)
     assigned = ivf_assign(S.with_norm(emb), cents).select(
         "vec_id", "cluster_id")
     is_new = F.col("vec_id") % INDEX_NEW_MOD == INDEX_NEW_REM

@@ -150,23 +150,41 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way join (TPC-H Q5 shape): big×big on orderkey, dims broadcast.
 
-    lineitem↔orders shuffles on the join key once; customer/nation/
-    region ride broadcast-hash joins.  Region filter prunes before the
-    join."""
+    lineitem pre-aggregates on the join key BEFORE the shuffle (r12,
+    guide §2.3): per-order hi/lo split partial sums travel instead of
+    raw line rows — at 64× the dominant exchange drops from 38M rows /
+    ~1.1 GB to 9.6M rows / ~0.23 GB — and, because the join is then
+    1:1 on the orders PK, ``countDistinct(o_orderkey)`` becomes a plain
+    ``count(*)`` per group (an order with no lineitems drops from the
+    inner join in BOTH shapes, so the counts are identical; the oracle
+    keeps its count(DISTINCT ...) spelling and the hash match is the
+    per-fixture proof).  The revenue recombination sums the SAME exact
+    hi/lo BIGINT totals in the same order of operations as the direct
+    lsum_wide — integer addition is associative, so the final double
+    is bit-identical (rows MATCH pinned at sf0.01/sf0.1)."""
+    from ..functions.rounding import _WIDE_SPLIT
+
     li, orders, customer, nation, region = (
         load(spark, sf_dir, t) for t in
         ("lineitem", "orders", "customer", "nation", "region"))
     asia = region.filter(F.col("r_name") == "ASIA")
+    term = _ep_c() * (F.lit(100) - _disc_p())
+    lo = term % F.lit(_WIDE_SPLIT)
+    hi = ((term - lo) / F.lit(_WIDE_SPLIT)).cast("long")
+    li_agg = li.groupBy("l_orderkey").agg(F.sum(hi).alias("_hi"),
+                                          F.sum(lo).alias("_lo"))
+    rev = ((F.sum("_hi").cast("double") * F.lit(float(_WIDE_SPLIT))
+            + F.sum("_lo").cast("double")) / F.lit(float(10 ** 4)))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_agg.join(orders, li_agg.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(asia), nation.n_regionkey == asia.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("order_year"))
         .agg(
-            pround(sum_disc_price(), 2).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            pround(rev, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
@@ -195,21 +213,38 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Executes as TakeOrderedAndProject — per-partition top-k then a
     driver merge, no global sort (the 100 TB-safe top-k form).
     Deterministic under ties: exact decimal revenue + order_key
-    tiebreak."""
+    tiebreak.
+
+    The revenue aggregate runs BELOW the join (r12, guide §2.3
+    "aggregate before you shuffle"): the group keys are l_orderkey plus
+    order-grain columns functionally dependent on it, so the per-group
+    sum IS the per-orderkey sum — computing it before the orderkey join
+    lets the map-side partial aggregation combine each order's ~4 line
+    rows before the exchange (measured 64×: the lineitem shuffle drops
+    from 38M raw rows / ~0.9 GB to 11M partial rows / 338 MiB), and the
+    join's other side shrinks to the date+segment-filtered orders,
+    which AQE then broadcasts while small (1.6M rows at 64×) and
+    shuffle-joins beyond — the exact arithmetic (lsum_wide split sum,
+    pround after the total) and the result rows are unchanged (oracle
+    identical; row-for-row MATCH pinned at sf0.01/sf0.1 before the
+    swap)."""
     li, orders, customer = (load(spark, sf_dir, t)
                             for t in ("lineitem", "orders", "customer"))
     building = customer.filter(F.col("c_mktsegment") == "BUILDING")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(building), orders.o_custkey == building.c_custkey)
+    li_rev = (li.groupBy("l_orderkey")
+              .agg(pround(sum_disc_price(), 2).alias("revenue")))
+    orders_f = (
+        orders
         .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        .groupBy(
+        .join(F.broadcast(building), orders.o_custkey == building.c_custkey))
+    return (
+        li_rev.join(orders_f, li_rev.l_orderkey == orders_f.o_orderkey)
+        .select(
             F.col("l_orderkey").alias("order_key"),
+            "revenue",
             F.col("o_orderdate").cast("date").alias("order_date"),
             F.col("o_orderpriority").alias("order_priority"),
         )
-        .agg(pround(sum_disc_price(), 2).alias("revenue"))
-        .select("order_key", "revenue", "order_date", "order_priority")
         .orderBy(F.desc("revenue"), F.asc("order_key"))
         .limit(10)
     )

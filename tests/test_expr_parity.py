@@ -141,6 +141,40 @@ def test_lloyd_step_mean_sql_text_matches_column_form(spark):
         assert _optimized_same(new, ref_step(quantize)), f"q={quantize}"
 
 
+def test_lloyd_step_dim_path_matches_posexplode_path(spark):
+    """r12: with a known vector width, _lloyd_step computes the per-cell
+    mean as ``dim`` per-position avg columns in ONE groupBy instead of
+    posexplode -> two groupBys (one Exchange per Lloyd's iteration
+    instead of two, no ×dim row multiplication).  The per-position
+    averages run over the identical value sets and quantize with the
+    same floor-form, so the trained centroids must be row-equal to the
+    generic path — including the empty-cell keep-previous fallback
+    (cluster 2 below is never nearest for this data)."""
+    from ecommerce_data_engineering_spark.operators.similarity import (
+        _lloyd_step)
+    emb = _emb(spark)
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0, 1.0]), (1, [2.0, 2.0, 2.0]),
+         (2, [900.0, 900.0, 900.0])],
+        "cluster_id INT, embedding ARRAY<FLOAT>")
+    for quantize in (9, None):
+        generic = _lloyd_step(emb, cents, "vec_id", "embedding",
+                              quantize=quantize)
+        fast = _lloyd_step(emb, cents, "vec_id", "embedding",
+                           quantize=quantize, dim=3)
+        a = sorted(generic.collect())
+        b = sorted(fast.collect())
+        assert a == b, f"q={quantize}: {a} vs {b}"
+        # two chained iterations (the shipped PROD_TRAIN_ITERS shape)
+    g2 = _lloyd_step(emb, _lloyd_step(emb, cents, "vec_id", "embedding",
+                                      quantize=9),
+                     "vec_id", "embedding", quantize=9)
+    f2 = _lloyd_step(emb, _lloyd_step(emb, cents, "vec_id", "embedding",
+                                      quantize=9, dim=3),
+                     "vec_id", "embedding", quantize=9, dim=3)
+    assert sorted(g2.collect()) == sorted(f2.collect())
+
+
 def test_cosine_topk_single_project_matches_withcolumn_form(spark):
     emb = _emb(spark)
     q = _with_norm_ref(emb).select(F.col("vec_id").alias("query_id"),

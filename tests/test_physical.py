@@ -392,7 +392,10 @@ SHUFFLE_BUDGET = {
     "corpus_decontaminate": (2, 1),
     "corpus_gopher_rules": (0, 0),
     "corpus_sequence_packing": (1, 0),
-    "customer_metrics": (2, 1),
+    # r12: countDistinct over the orders PK became a plain conditional
+    # count (equal by key uniqueness, oracle-hash-proven) — the
+    # distinct plan's second (custkey, orderkey)-grain exchange is gone
+    "customer_metrics": (1, 1),
     "daily_sales": (2, 0),
     # 11 -> 10 in r11: word_shingles dedups inside the row
     # (array_distinct), so the cached shingle frame's build plan lost
@@ -413,12 +416,19 @@ SHUFFLE_BUDGET = {
     # per-query rank window = 5 shuffles; broadcasts rise 4 -> 7
     # because every assignment broadcasts its own (k·d)-scalar
     # centroid-array row
-    "embedding_ann_production": (5, 7),
+    # ... r12: the per-iteration mean runs as EMB_DIM per-position avg
+    # columns in ONE groupBy(cluster_id) (operators/similarity.
+    # _lloyd_step dim=) — no posexplode row multiplication and one
+    # Exchange per Lloyd's iteration instead of two: 5 -> 3 shuffles
+    "embedding_ann_production": (3, 7),
     "events_hourly_rollup": (2, 0),
     "events_sessionization": (1, 0),
     "fact_lineitem_build": (0, 4),
     "pricing_summary": (1, 0),
-    "product_metrics": (2, 1),
+    # r12: countDistinct(l_orderkey) -> size(collect_set) removed the
+    # distinct-plan's second exchange (the (pk,ok)-grain shuffle where
+    # partial agg compressed nothing); one partkey-grain exchange left
+    "product_metrics": (1, 1),
     "revenue_by_nation": (2, 4),
     "revenue_rollup": (2, 0),
     "snapshot_cdc_diff": (2, 0),
